@@ -1,0 +1,30 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests must run anywhere (CI, the single-TPU-chip driver box, dev laptops),
+and must exercise the multi-chip sharding paths, so we force the JAX CPU
+backend with 8 virtual devices before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import random
+
+import jax
+import pytest
+
+# Persistent compilation cache: field/curve kernels are scan-heavy and slow
+# to compile; cache across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mina_bridge_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0xC0FFEE)
