@@ -1,0 +1,190 @@
+"""Poseidon permutation and sponge (kimchi shape) — batched TPU + host.
+
+Structure follows kimchi's poseidon (width 3, rate 2, 55 full rounds,
+x^7 sbox, no initial ARK): each round applies sbox to every lane, then the
+MDS matrix, then adds that round's constants. This is the Fiat-Shamir
+oracle and Mina's state/account hash (reference README.md:407-475; the
+reference consumes it from the pinned `mina-poseidon` crate,
+Cargo.lock:3776-3791).
+
+Device API operates on batches: state has shape (..., 3, NLIMBS); one
+permutation is a lax.scan over the 55 rounds, fully vectorized over the
+batch, so hashing 16 protocol states or thousands of accounts costs one
+permutation stream.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import ff
+from ..fields.params import NLIMBS, FieldSpec, int_to_limbs
+from .poseidon_params import RATE, WIDTH, PoseidonSpec, poseidon_spec
+
+__all__ = [
+    "poseidon_spec",
+    "permute",
+    "hash_fixed",
+    "Sponge",
+    "HostSponge",
+    "host_permute",
+    "host_hash",
+]
+
+
+@functools.cache
+def _device_tables(ps: PoseidonSpec):
+    rc = np.zeros((len(ps.round_constants), WIDTH, NLIMBS), dtype=np.int32)
+    for r, row in enumerate(ps.round_constants):
+        for i, c in enumerate(row):
+            rc[r, i] = int_to_limbs(c, NLIMBS)
+    mds = np.zeros((WIDTH, WIDTH, NLIMBS), dtype=np.int32)
+    for i in range(WIDTH):
+        for j in range(WIDTH):
+            mds[i, j] = int_to_limbs(ps.mds[i][j], NLIMBS)
+    return rc, mds
+
+
+def _sbox(field: FieldSpec, x: jax.Array) -> jax.Array:
+    """x^7 = (x^3)^2 * x : 4 modular multiplications."""
+    x2 = ff.mul(field, x, x)
+    x3 = ff.mul(field, x2, x)
+    x6 = ff.mul(field, x3, x3)
+    return ff.mul(field, x6, x)
+
+
+def permute(ps: PoseidonSpec, state: jax.Array) -> jax.Array:
+    """Apply the full permutation; state shape (..., 3, NLIMBS)."""
+    field = ps.field
+    rc, mds_np = _device_tables(ps)
+    mds = jnp.asarray(mds_np)
+
+    def round_body(st, rc_r):
+        st = _sbox(field, st)
+        # MDS: out[i] = sum_j mds[i][j] * st[j]
+        rows = []
+        for i in range(WIDTH):
+            acc = ff.mul(field, mds[i, 0], st[..., 0, :])
+            for j in range(1, WIDTH):
+                acc = ff.add(field, acc, ff.mul(field, mds[i, j], st[..., j, :]))
+            rows.append(acc)
+        st = jnp.stack(rows, axis=-2)
+        st = ff.add(field, st, rc_r)
+        return st, None
+
+    out, _ = jax.lax.scan(round_body, state, jnp.asarray(rc))
+    return out
+
+
+def initial_state(ps: PoseidonSpec, batch_shape: tuple[int, ...] = ()) -> jax.Array:
+    return ff.zeros(ps.field, batch_shape + (WIDTH,))
+
+
+def hash_fixed(ps: PoseidonSpec, inputs: jax.Array) -> jax.Array:
+    """Hash a fixed-length sequence of field elements (kimchi `hash`).
+
+    inputs: (..., n, NLIMBS) -> digest (..., NLIMBS). Absorbs rate-2
+    chunks (permuting before each chunk after the first... kimchi absorbs
+    then permutes lazily; digest is state[0] after final permutation).
+    """
+    n = inputs.shape[-2]
+    state = initial_state(ps, inputs.shape[:-2])
+    for start in range(0, n, RATE):
+        chunk = inputs[..., start : start + RATE, :]
+        k = chunk.shape[-2]
+        state = state.at[..., :k, :].set(
+            ff.add(ps.field, state[..., :k, :], chunk)
+        )
+        state = permute(ps, state)
+    if n == 0:
+        state = permute(ps, state)
+    return state[..., 0, :]
+
+
+class Sponge:
+    """Stateful kimchi sponge over device arrays (batched, host-driven).
+
+    Sequencing (absorb/squeeze order) is host Python — it is static per
+    protocol transcript — while all field math is device-side. Matches the
+    `ArithmeticSponge` absorb/squeeze state machine.
+    """
+
+    def __init__(self, ps: PoseidonSpec, batch_shape: tuple[int, ...] = ()):
+        self.ps = ps
+        self.state = initial_state(ps, batch_shape)
+        self.mode = "absorbing"
+        self.offset = 0
+
+    def absorb(self, x: jax.Array) -> None:
+        """Absorb one field element (shape (..., NLIMBS))."""
+        if self.mode != "absorbing":
+            self.mode, self.offset = "absorbing", 0
+        if self.offset == RATE:
+            self.state = permute(self.ps, self.state)
+            self.offset = 0
+        i = self.offset
+        self.state = self.state.at[..., i, :].set(
+            ff.add(self.ps.field, self.state[..., i, :], x)
+        )
+        self.offset += 1
+
+    def squeeze(self) -> jax.Array:
+        if self.mode == "absorbing" or self.offset == RATE:
+            self.state = permute(self.ps, self.state)
+            self.mode, self.offset = "squeezing", 0
+        out = self.state[..., self.offset, :]
+        self.offset += 1
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Host reference (python ints)
+# ---------------------------------------------------------------------------
+
+def host_permute(ps: PoseidonSpec, state: list[int]) -> list[int]:
+    p = ps.field.p
+    st = list(state)
+    for r in range(len(ps.round_constants)):
+        st = [pow(x, 7, p) for x in st]
+        st = [
+            sum(ps.mds[i][j] * st[j] for j in range(WIDTH)) % p
+            for i in range(WIDTH)
+        ]
+        st = [(st[i] + ps.round_constants[r][i]) % p for i in range(WIDTH)]
+    return st
+
+
+class HostSponge:
+    def __init__(self, ps: PoseidonSpec):
+        self.ps = ps
+        self.state = [0] * WIDTH
+        self.mode = "absorbing"
+        self.offset = 0
+
+    def absorb(self, x: int) -> None:
+        if self.mode != "absorbing":
+            self.mode, self.offset = "absorbing", 0
+        if self.offset == RATE:
+            self.state = host_permute(self.ps, self.state)
+            self.offset = 0
+        self.state[self.offset] = (self.state[self.offset] + x) % self.ps.field.p
+        self.offset += 1
+
+    def squeeze(self) -> int:
+        if self.mode == "absorbing" or self.offset == RATE:
+            self.state = host_permute(self.ps, self.state)
+            self.mode, self.offset = "squeezing", 0
+        out = self.state[self.offset]
+        self.offset += 1
+        return out
+
+
+def host_hash(ps: PoseidonSpec, inputs: list[int]) -> int:
+    sponge = HostSponge(ps)
+    for x in inputs:
+        sponge.absorb(x)
+    return sponge.squeeze()
