@@ -1,0 +1,169 @@
+"""Host reference implementation of the Pasta curves (Pallas/Vesta).
+
+Affine arithmetic with explicit infinity, scalar multiplication, point
+compression/decompression. The oracle for the device projective kernels
+and the engine for SRS loading / fixture generation. Replaces what the
+reference gets from `mina-curves`/`ark-ec` (core/Cargo.toml:19-21).
+
+Both curves: y^2 = x^3 + 5, generator (-1, 2), cofactor 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+from ..fields import host as fh
+from ..fields.params import FP, FQ, FieldSpec
+
+B_COEFF = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class CurveSpec:
+    name: str
+    base: FieldSpec  # coordinate field
+    scalar: FieldSpec  # group order field
+
+    @property
+    def b(self) -> int:
+        return B_COEFF
+
+    @functools.cached_property
+    def generator(self) -> tuple[int, int]:
+        return (self.base.p - 1, 2)  # (-1, 2)
+
+    @functools.cached_property
+    def endo_base(self) -> int:
+        """Cube root of unity zeta in the base field: phi(x,y)=(zeta*x, y).
+
+        Chosen as g^((p-1)/3) for the field's least multiplicative
+        generator g (matching arkworks' generator convention for Pasta,
+        g = 5). Drives the endomul scalar decomposition.
+        """
+        g = _least_generator(self.base)
+        return pow(g, (self.base.p - 1) // 3, self.base.p)
+
+    @functools.cached_property
+    def endo_scalar(self) -> int:
+        g = _least_generator(self.scalar)
+        return pow(g, (self.scalar.p - 1) // 3, self.scalar.p)
+
+    def __repr__(self) -> str:
+        return f"CurveSpec({self.name})"
+
+
+@functools.cache
+def _least_generator(spec: FieldSpec) -> int:
+    """Least g generating the full multiplicative group."""
+    # p - 1 = 2^32 * t with t odd; factor t enough: check g is non-residue
+    # and g^((p-1)/q) != 1 for small prime factors q of t found by trial
+    # division (sufficient for the Pasta primes, whose generator is 5).
+    p = spec.p
+    n = p - 1
+    factors = set()
+    m = n
+    for q in [2, 3, 5, 7, 11, 13]:
+        while m % q == 0:
+            factors.add(q)
+            m //= q
+    for g in range(2, 100):
+        if all(pow(g, n // q, p) != 1 for q in factors) and (
+            m == 1 or pow(g, n // m, p) != 1
+        ):
+            return g
+    raise AssertionError("no generator found")
+
+
+# Pallas: coordinates in Fp, order = |Fq|. Vesta: coordinates in Fq, order |Fp|.
+PALLAS = CurveSpec("pallas", FP, FQ)
+VESTA = CurveSpec("vesta", FQ, FP)
+
+# Affine point: (x, y) ints, or None for the identity.
+Point = tuple[int, int] | None
+
+
+def is_on_curve(c: CurveSpec, pt: Point) -> bool:
+    if pt is None:
+        return True
+    x, y = pt
+    p = c.base.p
+    return (y * y - (x * x * x + c.b)) % p == 0
+
+
+def add(c: CurveSpec, a: Point, b: Point) -> Point:
+    p = c.base.p
+    if a is None:
+        return b
+    if b is None:
+        return a
+    x1, y1 = a
+    x2, y2 = b
+    if x1 == x2:
+        if (y1 + y2) % p == 0:
+            return None
+        # doubling
+        lam = (3 * x1 * x1) * pow(2 * y1, p - 2, p) % p
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, p - 2, p) % p
+    x3 = (lam * lam - x1 - x2) % p
+    y3 = (lam * (x1 - x3) - y1) % p
+    return (x3, y3)
+
+
+def neg(c: CurveSpec, a: Point) -> Point:
+    if a is None:
+        return None
+    return (a[0], (-a[1]) % c.base.p)
+
+
+def mul(c: CurveSpec, k: int, pt: Point) -> Point:
+    k %= c.scalar.p
+    acc: Point = None
+    base = pt
+    while k:
+        if k & 1:
+            acc = add(c, acc, base)
+        base = add(c, base, base)
+        k >>= 1
+    return acc
+
+
+def msm(c: CurveSpec, scalars: list[int], points: list[Point]) -> Point:
+    acc: Point = None
+    for k, pt in zip(scalars, points):
+        acc = add(c, acc, mul(c, k, pt))
+    return acc
+
+
+# --- Compression (arkworks-compatible 33-byte little-endian form) ----------
+
+def compress(c: CurveSpec, pt: Point) -> bytes:
+    """33-byte form: 32-byte LE x || flags byte (odd-y bit | infinity bit).
+
+    Matches arkworks' short-Weierstrass serialize_compressed layout used by
+    the SRS files shipped with the reference (srs/pallas.srs, vesta.srs) —
+    trailing byte 0x40 marks infinity, 0x80 marks negative/odd y.
+    """
+    if pt is None:
+        return b"\x00" * 32 + b"\x40"
+    x, y = pt
+    flag = 0x80 if y > (c.base.p - 1) // 2 else 0x00
+    return x.to_bytes(32, "little") + bytes([flag])
+
+
+def decompress(c: CurveSpec, data: bytes) -> Point:
+    assert len(data) == 33
+    flags = data[32]
+    if flags & 0x40:
+        return None
+    x = int.from_bytes(data[:32], "little")
+    rhs = (x * x * x + c.b) % c.base.p
+    y = fh.fsqrt(c.base, rhs)
+    if y is None:
+        raise ValueError("invalid compressed point: x not on curve")
+    y_is_big = y > (c.base.p - 1) // 2
+    want_big = bool(flags & 0x80)
+    if y_is_big != want_big:
+        y = c.base.p - y
+    return (x, y)

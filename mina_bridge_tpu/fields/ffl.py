@@ -1,0 +1,343 @@
+"""Lazy (redundant) Pasta field arithmetic — the scan-free TPU hot path.
+
+The canonical module (ff.py) finishes every op with exact sequential carry
+propagation (lax.scan), which is correct but serializes ~130 dependent
+steps per multiply — poison for TPU VPU throughput. This module instead
+keeps elements in a *redundant representation*:
+
+    REP: 22 int32 limbs (little-endian base 2^13), each in [0, 8255],
+         value in [0, ~2^273); value is unique only modulo p.
+
+and guarantees only *static per-limb bounds*, never canonical limbs.
+All carry handling is a small number of data-parallel "split + shifted
+add" rounds whose trip count is derived at trace time from the tracked
+bounds — zero sequential scans, zero branches, identical work per lane.
+
+Reduction never produces negative intermediates: instead of subtracting
+the fold term conv(hi, 64*t0) (where 2^260 === -64*t0 mod p), we first add
+a *spread offset* — a multiple of p precomputed in a non-canonical limb
+form whose every limb dominates the per-position bound of the subtrahend.
+Three folds bring a 44-limb product back to REP.
+
+Bounds are tracked as Python tuples alongside the traced arrays; every
+public op takes REP-bounded inputs and returns REP-bounded outputs, with
+all offset constants cached per static bound signature. `canon()` (exact,
+scan-based) is only used at protocol boundaries (serialization, equality,
+challenge extraction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import LIMB_BITS, LIMB_MASK, FieldSpec, int_to_limbs
+from . import ff as ffc
+
+REP_LIMBS = 22
+LOOSE = LIMB_MASK + 64  # 8255: max loose limb value in REP
+_MAX_LIMB = (1 << 31) - (1 << 27)  # headroom guard for int32 accumulation
+REP_BOUNDS = (LOOSE,) * REP_LIMBS
+
+Bounds = tuple[int, ...]
+
+__all__ = [
+    "REP_LIMBS",
+    "zeros",
+    "ones",
+    "from_canon",
+    "canon",
+    "add",
+    "sub",
+    "neg",
+    "mul",
+    "square",
+    "mul_small",
+    "pow_const",
+    "inv",
+    "from_int",
+    "from_ints",
+    "to_int",
+    "to_ints",
+]
+
+
+# ---------------------------------------------------------------------------
+# Static bound machinery (pure Python, runs at trace time)
+# ---------------------------------------------------------------------------
+
+def _conv_bounds(ba: Bounds, bb: Bounds) -> Bounds:
+    out = [0] * (len(ba) + len(bb) - 1)
+    for i, x in enumerate(ba):
+        for j, y in enumerate(bb):
+            out[i + j] += x * y
+    assert all(v < (1 << 31) for v in out), "conv bound overflow"
+    return tuple(out)
+
+
+def _bounds_value(b: Bounds) -> int:
+    return sum(v << (LIMB_BITS * i) for i, v in enumerate(b))
+
+
+@functools.cache
+def _spread_offset(spec: FieldSpec, minima: Bounds) -> tuple[np.ndarray, Bounds]:
+    """A multiple of p in non-canonical limb form with limb_i >= minima_i.
+
+    Greedy top-down redistribution of canonical limbs; asserts the result.
+    """
+    target = _bounds_value(minima)
+    m = target // spec.p + 2
+    value = m * spec.p
+    rest = value - target  # >= p > 0
+    nl = max(len(minima), (rest.bit_length() + LIMB_BITS - 1) // LIMB_BITS)
+    rest_limbs = int_to_limbs(rest, nl)
+    minima_l = list(minima) + [0] * (nl - len(minima))
+    limbs = [int(minima_l[i]) + int(rest_limbs[i]) for i in range(nl)]
+    assert all(minima_l[i] <= v < _MAX_LIMB for i, v in enumerate(limbs))
+    assert sum(v << (LIMB_BITS * i) for i, v in enumerate(limbs)) == value
+    return np.array(limbs, dtype=np.int32), tuple(limbs)
+
+
+@functools.cache
+def _fold_const(spec: FieldSpec) -> tuple[np.ndarray, Bounds]:
+    """Limbs of 64*t0, with 2^260 === -(64*t0) (mod p)."""
+    c = spec.fold_c
+    nl = (c.bit_length() + LIMB_BITS - 1) // LIMB_BITS
+    arr = int_to_limbs(c, nl)
+    return arr, tuple(int(v) for v in arr)
+
+
+# ---------------------------------------------------------------------------
+# Carry rounds and convolution on (array, bounds) pairs
+# ---------------------------------------------------------------------------
+
+def _carry_round(x: jax.Array, bounds: Bounds) -> tuple[jax.Array, Bounds]:
+    """One vectorized split-and-add carry round (non-negative input)."""
+    c = x >> LIMB_BITS
+    y = x & LIMB_MASK
+    y = y.at[..., 1:].add(c[..., :-1])
+    nb = [min(b, LIMB_MASK) for b in bounds]
+    for i in range(1, len(bounds)):
+        nb[i] += bounds[i - 1] >> LIMB_BITS
+    top_carry = bounds[-1] >> LIMB_BITS
+    if top_carry > 0:
+        y = jnp.concatenate([y, c[..., -1:]], axis=-1)
+        nb.append(top_carry)
+    assert all(v < (1 << 31) for v in nb)
+    return y, tuple(nb)
+
+
+def _normalize(
+    x: jax.Array, bounds: Bounds, limit: int = LOOSE
+) -> tuple[jax.Array, Bounds]:
+    while any(b > limit for b in bounds):
+        x, bounds = _carry_round(x, bounds)
+    return x, bounds
+
+
+def _conv(
+    a: jax.Array, ba: Bounds, b: jax.Array, bb: Bounds
+) -> tuple[jax.Array, Bounds]:
+    la, lb = len(ba), len(bb)
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    out = jnp.zeros(shape + (la + lb - 1,), dtype=jnp.int32)
+    if lb <= la:
+        for j in range(lb):
+            out = out.at[..., j : j + la].add(a * b[..., j : j + 1])
+    else:
+        for i in range(la):
+            out = out.at[..., i : i + lb].add(b * a[..., i : i + 1])
+    return out, _conv_bounds(ba, bb)
+
+
+def _fold(
+    spec: FieldSpec, x: jax.Array, bounds: Bounds
+) -> tuple[jax.Array, Bounds]:
+    """Fold limbs >= 20 down: x === lo + OFF - conv(hi, 64*t0) (mod p)."""
+    assert len(bounds) > 20 and all(b <= LOOSE for b in bounds)
+    lo, blo = x[..., :20], bounds[:20]
+    hi, bhi = x[..., 20:], bounds[20:]
+    fold_np, fold_b = _fold_const(spec)
+    m, bm = _conv(hi, bhi, jnp.asarray(fold_np), fold_b)
+    off_np, off_b = _spread_offset(spec, bm)
+    nl = len(off_b)
+    out = jnp.zeros(x.shape[:-1] + (nl,), dtype=jnp.int32)
+    out = out.at[..., :20].add(lo)
+    out = out + jnp.asarray(off_np)
+    out = out.at[..., : len(bm)].add(-m)
+    nb = tuple(
+        (blo[i] if i < 20 else 0) + off_b[i] for i in range(nl)
+    )  # m only subtracts; lower bound stays >= 0 by construction
+    return out, nb
+
+
+def _reduce(
+    spec: FieldSpec, x: jax.Array, bounds: Bounds
+) -> tuple[jax.Array, Bounds]:
+    """Bring any non-negative (array, bounds) into REP."""
+    x, bounds = _normalize(x, bounds)
+    while len(bounds) > REP_LIMBS:
+        x, bounds = _fold(spec, x, bounds)
+        x, bounds = _normalize(x, bounds)
+    if len(bounds) < REP_LIMBS:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, REP_LIMBS - len(bounds))]
+        x = jnp.pad(x, pad)
+        bounds = bounds + (0,) * (REP_LIMBS - len(bounds))
+    assert all(b <= LOOSE for b in bounds)
+    return x, bounds
+
+
+def _rep(spec: FieldSpec, x: jax.Array, bounds: Bounds) -> jax.Array:
+    y, nb = _reduce(spec, x, bounds)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Public ops (REP in, REP out)
+# ---------------------------------------------------------------------------
+
+def zeros(spec: FieldSpec, shape: tuple[int, ...] = ()) -> jax.Array:
+    return jnp.zeros(shape + (REP_LIMBS,), dtype=jnp.int32)
+
+
+def ones(spec: FieldSpec, shape: tuple[int, ...] = ()) -> jax.Array:
+    return zeros(spec, shape).at[..., 0].set(1)
+
+
+def from_canon(x: jax.Array) -> jax.Array:
+    """Canonical 20-limb (ff.py) -> REP."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, REP_LIMBS - x.shape[-1])]
+    return jnp.pad(x, pad)
+
+
+def add(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    return _rep(spec, a + b, tuple(2 * v for v in REP_BOUNDS))
+
+
+def mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    t, bt = _conv(a, REP_BOUNDS, b, REP_BOUNDS)
+    return _rep(spec, t, bt)
+
+
+def square(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return mul(spec, a, a)
+
+
+def mul_small(spec: FieldSpec, a: jax.Array, c: int) -> jax.Array:
+    """Multiply by a small non-negative compile-time constant (< 2^17)."""
+    assert 0 <= c < (1 << 17)
+    return _rep(spec, a * c, tuple(v * c for v in REP_BOUNDS))
+
+
+@functools.cache
+def _sub_offset(spec: FieldSpec) -> tuple[np.ndarray, Bounds]:
+    return _spread_offset(spec, REP_BOUNDS)
+
+
+def sub(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    """a - b via a + (OFF - b) with OFF a spread multiple of p >= b limbwise."""
+    off_np, off_b = _sub_offset(spec)
+    nl = len(off_b)
+    x = jnp.zeros(
+        jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1]) + (nl,),
+        dtype=jnp.int32,
+    )
+    x = x + jnp.asarray(off_np)
+    x = x.at[..., :REP_LIMBS].add(a - b)
+    bounds = tuple(
+        off_b[i] + (REP_BOUNDS[i] if i < REP_LIMBS else 0) for i in range(nl)
+    )
+    return _rep(spec, x, bounds)
+
+
+def neg(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return sub(spec, zeros(spec), a)
+
+
+def pow_const(spec: FieldSpec, x: jax.Array, e: int) -> jax.Array:
+    if e == 0:
+        return jnp.broadcast_to(ones(spec), x.shape).astype(jnp.int32)
+    bits = np.array(
+        [(e >> i) & 1 for i in reversed(range(e.bit_length()))], dtype=np.int32
+    )
+
+    def body(acc, bit):
+        acc = mul(spec, acc, acc)
+        acc = jnp.where(bit, mul(spec, acc, x), acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, x, jnp.asarray(bits[1:]))
+    return acc
+
+
+def inv(spec: FieldSpec, x: jax.Array) -> jax.Array:
+    """Fermat inversion; inv of (anything === 0 mod p) is 0."""
+    return pow_const(spec, x, spec.p - 2)
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization boundary (exact; uses scans — not for hot loops)
+# ---------------------------------------------------------------------------
+
+def canon(spec: FieldSpec, x: jax.Array) -> jax.Array:
+    """REP (22 limbs) -> canonical 20-limb value in [0, p)."""
+    y, carry_out = ffc.carry(x, REP_LIMBS + 1)
+    # carry_out is provably 0: REP value < 2^273.4 < 2^(13*23)
+    # q is exactly floor(value / 2^254): limbs below 254 bits contribute
+    # strictly less than 2^254.
+    q = (y[..., 19] >> 7) + (y[..., 20] << 6) + (y[..., 21] << 19)
+    p20_np = int_to_limbs(spec.p, 20)
+    p20 = jnp.asarray(p20_np)
+    qlimbs = jnp.stack([q & LIMB_MASK, q >> LIMB_BITS], axis=-1)
+    qp, _ = _conv(
+        qlimbs, (LIMB_MASK, 1 << 7), p20, tuple(int(v) for v in p20_np)
+    )
+    # value - q*p = (value mod 2^254) - q*t0 can be slightly negative;
+    # add one extra p so the remainder lands in (0, 2p).
+    r = y.at[..., :20].add(p20) - jnp.pad(
+        qp, [(0, 0)] * (qp.ndim - 1) + [(0, REP_LIMBS + 1 - qp.shape[-1])]
+    )
+    r, _ = ffc.carry(r, REP_LIMBS + 1)
+    r = r[..., :20]  # value < 2p < 2^256: top limbs provably zero
+    return ffc._cond_sub_p(r, spec)
+
+
+def eq(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.all(canon(spec, a) == canon(spec, b), axis=-1)
+
+
+def is_zero(spec: FieldSpec, a: jax.Array) -> jax.Array:
+    return jnp.all(canon(spec, a) == 0, axis=-1)
+
+
+def select(mask: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.where(mask[..., None], a, b)
+
+
+# ---------------------------------------------------------------------------
+# Host conversion
+# ---------------------------------------------------------------------------
+
+def from_int(spec: FieldSpec, v: int) -> jax.Array:
+    return jnp.asarray(int_to_limbs(v % spec.p, REP_LIMBS))
+
+
+def from_ints(spec: FieldSpec, xs) -> jax.Array:
+    arr = np.stack([int_to_limbs(int(v) % spec.p, REP_LIMBS) for v in xs])
+    return jnp.asarray(arr)
+
+
+def to_int(spec: FieldSpec, x) -> int:
+    from .params import limbs_to_int
+
+    return limbs_to_int(np.asarray(x)) % spec.p
+
+
+def to_ints(spec: FieldSpec, x) -> list[int]:
+    from .params import limbs_to_int
+
+    a = np.asarray(x).reshape(-1, x.shape[-1])
+    return [limbs_to_int(row) % spec.p for row in a]

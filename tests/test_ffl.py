@@ -1,0 +1,84 @@
+"""Lazy redundant field arithmetic vs host oracle, incl. adversarial chains."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mina_bridge_tpu.fields import FP, FQ, ffl, host
+
+SPECS = [FP, FQ]
+N = 32
+
+
+def rand_elems(rng, spec, n=N):
+    xs = [rng.randrange(spec.p) for _ in range(n)]
+    xs[:5] = [0, 1, spec.p - 1, spec.p - 2, (1 << 254) % spec.p]
+    return xs
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=lambda s: s.name)
+def test_mul_add_sub(rng, spec):
+    xs, ys = rand_elems(rng, spec), rand_elems(rng, spec)
+    a, b = ffl.from_ints(spec, xs), ffl.from_ints(spec, ys)
+
+    mul = jax.jit(ffl.mul, static_argnums=0)
+    assert ffl.to_ints(spec, mul(spec, a, b)) == [
+        host.fmul(spec, x, y) for x, y in zip(xs, ys)
+    ]
+    assert ffl.to_ints(spec, ffl.add(spec, a, b)) == [
+        host.fadd(spec, x, y) for x, y in zip(xs, ys)
+    ]
+    assert ffl.to_ints(spec, ffl.sub(spec, a, b)) == [
+        host.fsub(spec, x, y) for x, y in zip(xs, ys)
+    ]
+    assert ffl.to_ints(spec, ffl.neg(spec, a)) == [host.fneg(spec, x) for x in xs]
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=lambda s: s.name)
+def test_canon_bit_exact(rng, spec):
+    xs = rand_elems(rng, spec, 16)
+    a = ffl.from_ints(spec, xs)
+    c = jax.jit(ffl.canon, static_argnums=0)(spec, a)
+    from mina_bridge_tpu.fields import ff
+
+    assert ff.to_ints(c) == xs
+    # canon of a redundant value (x + p represented loosely)
+    b = ffl.add(spec, a, ffl.from_ints(spec, [0] * 16))
+    b2 = ffl.mul(spec, a, ffl.ones(spec))
+    assert ff.to_ints(ffl.canon(spec, b2)) == xs
+
+
+def test_deep_chain(rng):
+    """Long mixed op chains stay within REP bounds and stay correct."""
+    spec = FP
+    xs = rand_elems(rng, spec, 8)
+    a = ffl.from_ints(spec, xs)
+    hs = list(xs)
+
+    def chain(a):
+        for i in range(20):
+            a2 = ffl.mul(spec, a, a)
+            s = ffl.add(spec, a2, a)
+            d = ffl.sub(spec, s, ffl.mul_small(spec, a, 15))
+            a = ffl.add(spec, ffl.add(spec, d, d), ffl.sub(spec, d, a2))
+        return a
+
+    out = jax.jit(chain)(a)
+    for i in range(20):
+        h2 = [x * x % spec.p for x in hs]
+        s = [(x2 + x) % spec.p for x2, x in zip(h2, hs)]
+        d = [(si - 15 * x) % spec.p for si, x in zip(s, hs)]
+        hs = [(2 * di + (di - x2)) % spec.p for di, x2 in zip(d, h2)]
+    assert ffl.to_ints(spec, out) == hs
+
+
+def test_pow_inv(rng):
+    spec = FQ
+    xs = rand_elems(rng, spec, 6)
+    a = ffl.from_ints(spec, xs)
+    assert ffl.to_ints(spec, ffl.pow_const(spec, a, 7)) == [
+        host.fpow(spec, x, 7) for x in xs
+    ]
+    assert ffl.to_ints(spec, jax.jit(ffl.inv, static_argnums=0)(spec, a)) == [
+        host.finv(spec, x) for x in xs
+    ]
