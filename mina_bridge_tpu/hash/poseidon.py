@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import ff
+from ..fields import ff, ffl
 from ..fields.params import NLIMBS, FieldSpec, int_to_limbs
 from .poseidon_params import RATE, WIDTH, PoseidonSpec, poseidon_spec
 
@@ -38,23 +38,24 @@ __all__ = [
 
 @functools.cache
 def _device_tables(ps: PoseidonSpec):
-    rc = np.zeros((len(ps.round_constants), WIDTH, NLIMBS), dtype=np.int32)
+    L = ffl.REP_LIMBS
+    rc = np.zeros((len(ps.round_constants), WIDTH, L), dtype=np.int32)
     for r, row in enumerate(ps.round_constants):
         for i, c in enumerate(row):
-            rc[r, i] = int_to_limbs(c, NLIMBS)
-    mds = np.zeros((WIDTH, WIDTH, NLIMBS), dtype=np.int32)
+            rc[r, i] = int_to_limbs(c, L)
+    mds = np.zeros((WIDTH, WIDTH, L), dtype=np.int32)
     for i in range(WIDTH):
         for j in range(WIDTH):
-            mds[i, j] = int_to_limbs(ps.mds[i][j], NLIMBS)
+            mds[i, j] = int_to_limbs(ps.mds[i][j], L)
     return rc, mds
 
 
 def _sbox(field: FieldSpec, x: jax.Array) -> jax.Array:
     """x^7 = (x^3)^2 * x : 4 modular multiplications."""
-    x2 = ff.mul(field, x, x)
-    x3 = ff.mul(field, x2, x)
-    x6 = ff.mul(field, x3, x3)
-    return ff.mul(field, x6, x)
+    x2 = ffl.mul(field, x, x)
+    x3 = ffl.mul(field, x2, x)
+    x6 = ffl.mul(field, x3, x3)
+    return ffl.mul(field, x6, x)
 
 
 def permute(ps: PoseidonSpec, state: jax.Array) -> jax.Array:
@@ -68,12 +69,12 @@ def permute(ps: PoseidonSpec, state: jax.Array) -> jax.Array:
         # MDS: out[i] = sum_j mds[i][j] * st[j]
         rows = []
         for i in range(WIDTH):
-            acc = ff.mul(field, mds[i, 0], st[..., 0, :])
+            acc = ffl.mul(field, mds[i, 0], st[..., 0, :])
             for j in range(1, WIDTH):
-                acc = ff.add(field, acc, ff.mul(field, mds[i, j], st[..., j, :]))
+                acc = ffl.add(field, acc, ffl.mul(field, mds[i, j], st[..., j, :]))
             rows.append(acc)
         st = jnp.stack(rows, axis=-2)
-        st = ff.add(field, st, rc_r)
+        st = ffl.add(field, st, rc_r)
         return st, None
 
     out, _ = jax.lax.scan(round_body, state, jnp.asarray(rc))
@@ -81,7 +82,14 @@ def permute(ps: PoseidonSpec, state: jax.Array) -> jax.Array:
 
 
 def initial_state(ps: PoseidonSpec, batch_shape: tuple[int, ...] = ()) -> jax.Array:
-    return ff.zeros(ps.field, batch_shape + (WIDTH,))
+    return ffl.zeros(ps.field, batch_shape + (WIDTH,))
+
+
+def _to_rep(x: jax.Array) -> jax.Array:
+    """Accept canonical 20-limb or REP 22-limb input."""
+    if x.shape[-1] == ffl.REP_LIMBS:
+        return x
+    return ffl.from_canon(x)
 
 
 def hash_fixed(ps: PoseidonSpec, inputs: jax.Array) -> jax.Array:
@@ -91,18 +99,19 @@ def hash_fixed(ps: PoseidonSpec, inputs: jax.Array) -> jax.Array:
     chunks (permuting before each chunk after the first... kimchi absorbs
     then permutes lazily; digest is state[0] after final permutation).
     """
+    inputs = _to_rep(inputs)
     n = inputs.shape[-2]
     state = initial_state(ps, inputs.shape[:-2])
     for start in range(0, n, RATE):
         chunk = inputs[..., start : start + RATE, :]
         k = chunk.shape[-2]
         state = state.at[..., :k, :].set(
-            ff.add(ps.field, state[..., :k, :], chunk)
+            ffl.add(ps.field, state[..., :k, :], chunk)
         )
         state = permute(ps, state)
     if n == 0:
         state = permute(ps, state)
-    return state[..., 0, :]
+    return ffl.canon(ps.field, state[..., 0, :])
 
 
 class Sponge:
@@ -120,7 +129,8 @@ class Sponge:
         self.offset = 0
 
     def absorb(self, x: jax.Array) -> None:
-        """Absorb one field element (shape (..., NLIMBS))."""
+        """Absorb one field element (canonical 20-limb or REP 22-limb)."""
+        x = _to_rep(x)
         if self.mode != "absorbing":
             self.mode, self.offset = "absorbing", 0
         if self.offset == RATE:
@@ -128,17 +138,18 @@ class Sponge:
             self.offset = 0
         i = self.offset
         self.state = self.state.at[..., i, :].set(
-            ff.add(self.ps.field, self.state[..., i, :], x)
+            ffl.add(self.ps.field, self.state[..., i, :], x)
         )
         self.offset += 1
 
     def squeeze(self) -> jax.Array:
+        """Squeeze one canonical 20-limb field element."""
         if self.mode == "absorbing" or self.offset == RATE:
             self.state = permute(self.ps, self.state)
             self.mode, self.offset = "squeezing", 0
         out = self.state[..., self.offset, :]
         self.offset += 1
-        return out
+        return ffl.canon(self.ps.field, out)
 
 
 # ---------------------------------------------------------------------------

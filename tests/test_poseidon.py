@@ -15,12 +15,14 @@ def test_permute_matches_host(rng, field_name):
     ps = poseidon_spec(field_name)
     B = 4
     states = [[rng.randrange(ps.field.p) for _ in range(WIDTH)] for _ in range(B)]
+    from mina_bridge_tpu.fields import ffl
+
     dev = jnp.stack(
-        [ff.from_ints(ps.field, s) for s in states]
-    )  # (B, 3, NLIMBS)
+        [ffl.from_ints(ps.field, s) for s in states]
+    )  # (B, 3, REP_LIMBS)
     out = jax.jit(poseidon.permute, static_argnums=0)(ps, dev)
     for b in range(B):
-        got = ff.to_ints(out[b])
+        got = ffl.to_ints(ps.field, out[b])
         want = poseidon.host_permute(ps, states[b])
         assert got == want
 
