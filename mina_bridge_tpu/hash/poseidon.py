@@ -199,3 +199,89 @@ def host_hash(ps: PoseidonSpec, inputs: list[int]) -> int:
     for x in inputs:
         sponge.absorb(x)
     return sponge.squeeze()
+
+
+# ---------------------------------------------------------------------------
+# Scheduled transcript execution (one permute instance per phase)
+# ---------------------------------------------------------------------------
+
+def run_transcript(
+    ps: PoseidonSpec,
+    ops: list,
+    sponge: "Sponge | None" = None,
+    batch_shape: tuple[int, ...] = (),
+):
+    """Execute a static absorb/squeeze schedule with ONE lax.scan.
+
+    ops: list of ("absorb", array) / ("squeeze",). The absorb/squeeze
+    pattern is simulated statically into permutation "blocks" (each block
+    = up to RATE pre-permute additions + one permutation); the blocks run
+    under a single lax.scan, so the compiled graph contains exactly one
+    permutation instance no matter how long the transcript is. Semantics
+    are bit-identical to driving `Sponge` op by op (tested).
+
+    Returns (squeezed: list of canonical arrays, sponge: Sponge positioned
+    for continuation).
+    """
+    if sponge is None:
+        sponge = Sponge(ps, batch_shape)
+    state = sponge.state
+    mode, offset = sponge.mode, sponge.offset
+
+    blocks: list[list] = []  # per block: list of (pos, array)
+    cur: list = []
+    squeeze_map: list[tuple[int, int]] = []
+    for op in ops:
+        if op[0] == "absorb":
+            if mode != "absorbing":
+                mode, offset = "absorbing", 0
+            if offset == RATE:
+                blocks.append(cur)
+                cur = []
+                offset = 0
+            cur.append((offset, _to_rep(op[1])))
+            offset += 1
+        elif op[0] == "squeeze":
+            if mode == "absorbing" or offset == RATE:
+                blocks.append(cur)
+                cur = []
+                mode, offset = "squeezing", 0
+            squeeze_map.append((len(blocks) - 1, offset))
+            offset += 1
+        else:
+            raise ValueError(op[0])
+
+    T = len(blocks)
+    squeezed: list = []
+    if T:
+        bshape = state.shape[:-2]
+        L = state.shape[-1]
+        adds = jnp.zeros((T, RATE) + bshape + (L,), dtype=jnp.int32)
+        for t, blk in enumerate(blocks):
+            for pos, arr in blk:
+                arr = jnp.broadcast_to(arr, bshape + (L,)).astype(jnp.int32)
+                adds = adds.at[t, pos].add(arr)
+
+        def body(st, add_t):
+            for i in range(RATE):
+                st = st.at[..., i, :].set(
+                    ffl.add(ps.field, st[..., i, :], add_t[i])
+                )
+            st = permute(ps, st)
+            return st, st
+
+        state, all_states = jax.lax.scan(body, state, adds)
+        for bi, row in squeeze_map:
+            squeezed.append(ffl.canon(ps.field, all_states[bi][..., row, :]))
+
+    # apply trailing (un-permuted) absorbs directly to the running state
+    for pos, arr in cur:
+        state = state.at[..., pos, :].set(
+            ffl.add(ps.field, state[..., pos, :], arr)
+        )
+
+    out_sponge = Sponge(ps, ())
+    out_sponge.state = state
+    out_sponge.mode = mode
+    out_sponge.offset = offset
+    return squeezed, out_sponge

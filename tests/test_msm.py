@@ -1,0 +1,39 @@
+"""Pippenger MSM vs host oracle, single-device and sharded."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mina_bridge_tpu.curves import PALLAS, host as hc, jaxcurve as jc
+from mina_bridge_tpu.fields import ff
+from mina_bridge_tpu.ops import msm as msm_mod
+
+
+def setup_case(rng, n):
+    c = PALLAS
+    pts = [hc.mul(c, rng.randrange(1, c.scalar.p), c.generator) for i in range(n)]
+    ks = [rng.randrange(c.scalar.p) for _ in range(n)]
+    ks[0] = 0  # zero scalar contributes nothing
+    dp = jc.from_affine_ints(c, pts)
+    dk = ff.from_ints(c.scalar, ks)
+    return c, pts, ks, dp, dk
+
+
+def test_msm_matches_host(rng):
+    c, pts, ks, dp, dk = setup_case(rng, 32)
+    out = jax.jit(msm_mod.msm, static_argnums=0)(c, dk, dp)
+    got = jc.to_affine_ints(c, out)[0]
+    want = hc.msm(c, ks, pts)
+    assert got == want
+
+
+def test_msm_sharded_matches_host(rng):
+    c, pts, ks, dp, dk = setup_case(rng, 32)
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest should provide 8 virtual devices"
+    mesh = jax.sharding.Mesh(np.array(devs[:8]), ("shard",))
+    out = msm_mod.msm_sharded(c, dk, dp, mesh)
+    got = jc.to_affine_ints(c, out)[0]
+    want = hc.msm(c, ks, pts)
+    assert got == want
