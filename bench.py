@@ -1,0 +1,89 @@
+"""Headline benchmark: Pippenger MSM over the shipped 2^16-point Pallas SRS.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md) —
+its MSM runs in the pinned Rust `poly-commitment`/`ark-ec` crates with
+rayon on a many-core host. We benchmark against a documented estimate of
+that stack: 2.0e6 points/sec for a full 2^16 MSM on a modern multi-core
+server (arkworks Pippenger ~30ms at this size). vs_baseline = ours/that.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("MINA_BRIDGE_TPU_CACHE", "/tmp/mina_bridge_tpu_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/mina_bridge_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+RUST_BASELINE_POINTS_PER_SEC = 2.0e6
+N = 1 << 16
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from mina_bridge_tpu.curves import PALLAS, jaxcurve as jc
+    from mina_bridge_tpu.curves.srs import load_srs
+    from mina_bridge_tpu.fields import ffl
+    from mina_bridge_tpu.fields.params import NLIMBS
+    from mina_bridge_tpu.ops import msm as msm_mod
+
+    log("devices:", jax.devices())
+    t0 = time.time()
+    srs = load_srs("pallas", N)
+    log(f"SRS loaded in {time.time() - t0:.1f}s")
+
+    # SRS affine -> projective REP points on device
+    g = srs["g"]  # (N, 2, NLIMBS) int32 canonical limbs
+    x = jnp.pad(jnp.asarray(g[:, 0]), ((0, 0), (0, ffl.REP_LIMBS - NLIMBS)))
+    y = jnp.pad(jnp.asarray(g[:, 1]), ((0, 0), (0, ffl.REP_LIMBS - NLIMBS)))
+    z = jnp.zeros_like(x).at[:, 0].set(1)
+    points = jnp.stack([x, y, z], axis=1)  # (N, 3, L)
+
+    rng = np.random.default_rng(0)
+    # random 254-bit scalars as canonical 13-bit limbs
+    scalars = rng.integers(0, 1 << 13, size=(N, NLIMBS), dtype=np.int32)
+    scalars[:, -1] &= (1 << 7) - 1  # keep < 2^254 < p
+    scalars = jnp.asarray(scalars)
+
+    f = jax.jit(msm_mod.msm, static_argnums=0)
+    t0 = time.time()
+    out = f(PALLAS, scalars, points)
+    out.block_until_ready()
+    log(f"compile+first run: {time.time() - t0:.1f}s")
+
+    iters = 5
+    t0 = time.time()
+    for i in range(iters):
+        out = f(PALLAS, scalars, points)
+    out.block_until_ready()
+    dt = (time.time() - t0) / iters
+    pps = N / dt
+    log(f"MSM 2^16: {dt * 1e3:.1f} ms -> {pps / 1e6:.2f} M points/s")
+
+    print(
+        json.dumps(
+            {
+                "metric": "pallas_msm_2e16_points_per_sec",
+                "value": round(pps),
+                "unit": "points/s",
+                "vs_baseline": round(pps / RUST_BASELINE_POINTS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

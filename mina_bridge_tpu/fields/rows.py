@@ -1,0 +1,163 @@
+"""Lazy field arithmetic in limbs-first ("rows") layout: (..., L, B).
+
+The Pallas-kernel twin of ffl.py: the limb axis is axis -2 (sublanes) and
+the batch axis is last (lanes), so every limb operation is a full-width
+VPU op when traced inside a Mosaic kernel — no HBM round-trips between
+the ~1400 primitive ops of a modular multiply. The same functions run as
+plain jnp on CPU (used as the fallback/test path).
+
+Representation and bounds are identical to ffl.py (22 limbs, loose
+[0, 8255], spread-offset folds); the static-bound helpers are shared.
+
+Kernel-safety rules obeyed throughout: no captured array constants
+(constant limb vectors enter as scalar literals via broadcast+concat) and
+no scatter ops (shifted accumulations are pad+add).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .params import LIMB_BITS, LIMB_MASK, FieldSpec
+from .ffl import (
+    REP_LIMBS,
+    LOOSE,
+    REP_BOUNDS,
+    Bounds,
+    _conv_bounds,
+    _fold_const,
+    _spread_offset,
+    _sub_offset,
+)
+
+__all__ = [
+    "conv_r",
+    "mul_r",
+    "add_r",
+    "sub_r",
+    "mul_small_r",
+    "zeros_r",
+    "ones_r",
+]
+
+
+def _shift_add(x: jax.Array, delta: jax.Array, start: int) -> jax.Array:
+    """x[..., start:start+Ld, :] += delta, via pad+add (scatter-free)."""
+    ld = delta.shape[-2]
+    hi = x.shape[-2] - start - ld
+    assert hi >= 0
+    pad = [(0, 0)] * (delta.ndim - 2) + [(start, hi), (0, 0)]
+    return x + jnp.pad(delta, pad)
+
+
+def _const_rows(cvec, shape, dtype=jnp.int32) -> jax.Array:
+    """Constant limb vector as broadcast+concat (no captured arrays)."""
+    B = shape[-1]
+    rows_ = [jnp.full(shape[:-2] + (1, B), int(v), dtype) for v in cvec]
+    return jnp.concatenate(rows_, axis=-2)
+
+
+def _carry_round_r(x: jax.Array, bounds: Bounds) -> tuple[jax.Array, Bounds]:
+    c = x >> LIMB_BITS
+    y = x & LIMB_MASK
+    y = _shift_add(y, c[..., :-1, :], 1)
+    nb = [min(b, LIMB_MASK) for b in bounds]
+    for i in range(1, len(bounds)):
+        nb[i] += bounds[i - 1] >> LIMB_BITS
+    top_carry = bounds[-1] >> LIMB_BITS
+    if top_carry > 0:
+        y = jnp.concatenate([y, c[..., -1:, :]], axis=-2)
+        nb.append(top_carry)
+    return y, tuple(nb)
+
+
+def _normalize_r(x, bounds, limit=LOOSE):
+    while any(b > limit for b in bounds):
+        x, bounds = _carry_round_r(x, bounds)
+    return x, bounds
+
+
+def conv_r(a, ba: Bounds, b, bb: Bounds):
+    la, lb = len(ba), len(bb)
+    shape = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
+    B = jnp.broadcast_shapes(a.shape[-1:], b.shape[-1:])[0]
+    out = jnp.zeros(shape + (la + lb - 1, B), dtype=jnp.int32)
+    if lb <= la:
+        for j in range(lb):
+            out = _shift_add(out, a * b[..., j : j + 1, :], j)
+    else:
+        for i in range(la):
+            out = _shift_add(out, b * a[..., i : i + 1, :], i)
+    return out, _conv_bounds(ba, bb)
+
+
+def conv_const_r(a, ba: Bounds, cvec):
+    """Convolve with a constant limb vector using scalar literals."""
+    la, lc = len(ba), len(cvec)
+    out = jnp.zeros(a.shape[:-2] + (la + lc - 1, a.shape[-1]), dtype=jnp.int32)
+    for j, v in enumerate(cvec):
+        if v:
+            out = _shift_add(out, a * int(v), j)
+    return out, _conv_bounds(ba, tuple(int(v) for v in cvec))
+
+
+def _fold_r(spec: FieldSpec, x, bounds: Bounds):
+    lo, blo = x[..., :20, :], bounds[:20]
+    hi, bhi = x[..., 20:, :], bounds[20:]
+    fold_np, _fold_b = _fold_const(spec)
+    m, bm = conv_const_r(hi, bhi, [int(v) for v in fold_np])
+    off_np, off_b = _spread_offset(spec, bm)
+    nl = len(off_b)
+    out = _const_rows(off_np, x.shape[:-2] + (nl, x.shape[-1]))
+    out = _shift_add(out, lo, 0)
+    out = _shift_add(out, -m, 0)
+    nb = tuple((blo[i] if i < 20 else 0) + off_b[i] for i in range(nl))
+    return out, nb
+
+
+def _reduce_r(spec: FieldSpec, x, bounds: Bounds):
+    x, bounds = _normalize_r(x, bounds)
+    while len(bounds) > REP_LIMBS:
+        x, bounds = _fold_r(spec, x, bounds)
+        x, bounds = _normalize_r(x, bounds)
+    if len(bounds) < REP_LIMBS:
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, REP_LIMBS - len(bounds)), (0, 0)]
+        x = jnp.pad(x, pad)
+    return x
+
+
+def mul_r(spec: FieldSpec, a, b):
+    t, bt = conv_r(a, REP_BOUNDS, b, REP_BOUNDS)
+    return _reduce_r(spec, t, bt)
+
+
+def add_r(spec: FieldSpec, a, b):
+    return _reduce_r(spec, a + b, tuple(2 * v for v in REP_BOUNDS))
+
+
+def sub_r(spec: FieldSpec, a, b):
+    off_np, off_b = _sub_offset(spec)
+    nl = len(off_b)
+    shp = jnp.broadcast_shapes(a.shape, b.shape)
+    x = _const_rows(off_np, shp[:-2] + (nl, shp[-1]))
+    x = _shift_add(x, a - b, 0)
+    bounds = tuple(
+        off_b[i] + (2 * LOOSE if i < REP_LIMBS else 0) for i in range(nl)
+    )
+    return _reduce_r(spec, x, bounds)
+
+
+def mul_small_r(spec: FieldSpec, a, c: int):
+    assert 0 <= c < (1 << 17)
+    return _reduce_r(spec, a * c, tuple(v * c for v in REP_BOUNDS))
+
+
+def zeros_r(spec: FieldSpec, shape) -> jax.Array:
+    return jnp.zeros(shape, dtype=jnp.int32)
+
+
+def ones_r(spec: FieldSpec, shape) -> jax.Array:
+    one = jnp.full(shape[:-2] + (1, shape[-1]), 1, jnp.int32)
+    rest = jnp.zeros(shape[:-2] + (shape[-2] - 1, shape[-1]), jnp.int32)
+    return jnp.concatenate([one, rest], axis=-2)

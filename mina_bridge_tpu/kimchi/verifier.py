@@ -1,0 +1,288 @@
+"""The TPU Kimchi-style PLONK verifier: batched, jittable, one MSM.
+
+Device counterpart of prover_host.py — the "train step" of this
+framework. Verifies B structurally-identical proofs at once:
+
+1. One scheduled Poseidon scan derives every Fiat-Shamir challenge
+   (beta, gamma, alpha, zeta, v, u) for all B transcripts in parallel
+   (hash/poseidon.run_transcript).
+2. The gate + permutation + quotient identity is checked at zeta with
+   lazy field arithmetic (fields/ffl.py).
+3. All 35 polynomial openings at (zeta, zeta*omega) reduce to ONE
+   random-linear-combination MSM over the SRS (commitment/ipa.py +
+   ops/msm.py), shardable across chips.
+
+Mirrors the verifier flow of the reference's pinned `kimchi` crate
+(README.md:409-475 sequence diagram; SURVEY §2b) in TPU-native form.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..commitment import ipa
+from ..curves.host import CurveSpec
+from ..fields import ffl
+from ..fields.params import NLIMBS, int_to_limbs
+from ..hash import poseidon
+from ..hash.poseidon_params import poseidon_spec
+from .circuit import COLUMNS, PERMUTS
+from .prover_host import T_CHUNKS, HostProof, VerifierIndexHost
+
+N_OPENED = COLUMNS + 1 + PERMUTS + 5 + T_CHUNKS
+
+
+@dataclasses.dataclass
+class DeviceVerifierIndex:
+    """Static (host-resident) index data + device constants."""
+
+    curve: CurveSpec
+    n: int
+    log_n: int
+    npub: int
+    omega: int
+    shifts: tuple[int, ...]
+    digest: int
+    index_comms: np.ndarray  # (12, 2, NLIMBS): sigma[7] + ql,qr,qo,qm,qc
+    g_affine: np.ndarray  # (n, 2, NLIMBS)
+    h_affine: np.ndarray  # (2, NLIMBS)
+
+    @classmethod
+    def from_host(cls, index: VerifierIndexHost, g, h) -> "DeviceVerifierIndex":
+        def aff(pt):
+            if pt is None:
+                return np.zeros((2, NLIMBS), np.int32)
+            return np.stack([int_to_limbs(pt[0], NLIMBS), int_to_limbs(pt[1], NLIMBS)])
+
+        comms = [aff(p) for p in index.sigma_comm]
+        comms += [aff(index.sel_comm[k]) for k in "ql qr qo qm qc".split()]
+        n = index.domain.n
+        return cls(
+            curve=index.curve,
+            n=n,
+            log_n=index.domain.log_size,
+            npub=index.npub,
+            omega=index.domain.omega,
+            shifts=index.shifts,
+            digest=index.digest(),
+            index_comms=np.stack(comms),
+            g_affine=np.stack([aff(p) for p in g[:n]]),
+            h_affine=aff(h),
+        )
+
+
+@dataclasses.dataclass
+class DeviceProofs:
+    """B stacked proofs (all canonical little-endian limb arrays)."""
+
+    public: jax.Array  # (B, npub, NLIMBS)
+    w_comm: jax.Array  # (B, 15, 2, NLIMBS)
+    z_comm: jax.Array  # (B, 2, NLIMBS)
+    t_comm: jax.Array  # (B, 7, 2, NLIMBS)
+    evals: jax.Array  # (B, 35, 2, NLIMBS)
+    lr: jax.Array  # (B, k, 2, 2, NLIMBS)
+    delta: jax.Array  # (B, 2, NLIMBS)
+    sg: jax.Array  # (B, 2, NLIMBS)
+    z1: jax.Array  # (B, NLIMBS)
+    z2: jax.Array  # (B, NLIMBS)
+
+    @classmethod
+    def from_host(cls, proofs: list[HostProof]) -> "DeviceProofs":
+        def aff(pt):
+            if pt is None:
+                return np.zeros((2, NLIMBS), np.int32)
+            return np.stack([int_to_limbs(pt[0], NLIMBS), int_to_limbs(pt[1], NLIMBS)])
+
+        def sc(x):
+            return int_to_limbs(x, NLIMBS)
+
+        return cls(
+            public=jnp.asarray(
+                np.stack([np.stack([sc(x) for x in p.public]) for p in proofs])
+            ),
+            w_comm=jnp.asarray(
+                np.stack([np.stack([aff(c) for c in p.w_comm]) for p in proofs])
+            ),
+            z_comm=jnp.asarray(np.stack([aff(p.z_comm) for p in proofs])),
+            t_comm=jnp.asarray(
+                np.stack([np.stack([aff(c) for c in p.t_comm]) for p in proofs])
+            ),
+            evals=jnp.asarray(
+                np.stack(
+                    [
+                        np.stack([np.stack([sc(e0), sc(e1)]) for e0, e1 in p.evals])
+                        for p in proofs
+                    ]
+                )
+            ),
+            lr=jnp.asarray(
+                np.stack(
+                    [
+                        np.stack(
+                            [np.stack([aff(L), aff(R)]) for L, R in p.opening.lr]
+                        )
+                        for p in proofs
+                    ]
+                )
+            ),
+            delta=jnp.asarray(np.stack([aff(p.opening.delta) for p in proofs])),
+            sg=jnp.asarray(np.stack([aff(p.opening.sg) for p in proofs])),
+            z1=jnp.asarray(np.stack([sc(p.opening.z1) for p in proofs])),
+            z2=jnp.asarray(np.stack([sc(p.opening.z2) for p in proofs])),
+        )
+
+
+def _const(spec, x: int) -> jax.Array:
+    return jnp.asarray(int_to_limbs(x % spec.p, ffl.REP_LIMBS))
+
+
+def verify(
+    index: DeviceVerifierIndex, proofs: DeviceProofs, rand_weights: jax.Array
+) -> jax.Array:
+    """Verify B proofs; returns (per-batch equation ok, opening ok) -> bool.
+
+    The gate identity is checked per proof; the openings are aggregated
+    into one MSM whose result must be the identity. Both must hold.
+    """
+    curve = index.curve
+    fs = curve.scalar
+    B = proofs.z1.shape[0]
+    npub = proofs.public.shape[1]
+    ps_sponge = poseidon_spec(ipa.sponge_for(curve))
+    mask128 = jnp.asarray(ipa._MASK128)
+
+    # ---- one scheduled transcript for all oracles ----
+    ops: list = [("absorb", jnp.asarray(int_to_limbs(index.digest, NLIMBS)))]
+    for i in range(npub):
+        lo, hi = ipa._split_128_device(proofs.public[:, i])
+        ops += [("absorb", lo), ("absorb", hi)]
+    for i in range(COLUMNS):
+        ops += [
+            ("absorb", proofs.w_comm[:, i, 0]),
+            ("absorb", proofs.w_comm[:, i, 1]),
+        ]
+    ops += [("squeeze",), ("squeeze",)]  # beta, gamma
+    ops += [("absorb", proofs.z_comm[:, 0]), ("absorb", proofs.z_comm[:, 1])]
+    ops += [("squeeze",)]  # alpha
+    for i in range(T_CHUNKS):
+        ops += [
+            ("absorb", proofs.t_comm[:, i, 0]),
+            ("absorb", proofs.t_comm[:, i, 1]),
+        ]
+    ops += [("squeeze",)]  # zeta
+    for i in range(N_OPENED):
+        for j in range(2):
+            lo, hi = ipa._split_128_device(proofs.evals[:, i, j])
+            ops += [("absorb", lo), ("absorb", hi)]
+    ops += [("squeeze",), ("squeeze",)]  # v, u
+    sq, sponge = poseidon.run_transcript(ps_sponge, ops, batch_shape=(B,))
+    beta, gamma, alpha, zeta, v, u = [ffl.from_canon(x & mask128) for x in sq]
+
+    # ---- scalar identity at zeta ----
+    ev = ffl.from_canon(proofs.evals)  # (B, 35, 2, L)
+    w_z = [ev[:, i, 0] for i in range(COLUMNS)]
+    z_z = ev[:, COLUMNS, 0]
+    z_zw = ev[:, COLUMNS, 1]
+    sig_z = [ev[:, COLUMNS + 1 + j, 0] for j in range(PERMUTS)]
+    sel = {
+        k: ev[:, COLUMNS + 1 + PERMUTS + i, 0]
+        for i, k in enumerate("ql qr qo qm qc".split())
+    }
+    t_z = [ev[:, COLUMNS + 1 + PERMUTS + 5 + i, 0] for i in range(T_CHUNKS)]
+
+    mul = lambda a, b: ffl.mul(fs, a, b)
+    add = lambda a, b: ffl.add(fs, a, b)
+    sub = lambda a, b: ffl.sub(fs, a, b)
+
+    # zeta^n by repeated squaring (log_n squarings)
+    zn = zeta
+    for _ in range(index.log_n):
+        zn = mul(zn, zn)
+    one = jnp.broadcast_to(ffl.ones(fs), zeta.shape).astype(jnp.int32)
+    zh = sub(zn, one)  # Z_H(zeta)
+
+    # Lagrange evals L_i(zeta) = omega^i * zh / (n * (zeta - omega^i))
+    n_inv = _const(fs, pow(index.n, fs.p - 2, fs.p))
+    pub_eval = ffl.zeros(fs, (B,))
+    if npub:
+        omega_pows = [pow(index.omega, i, fs.p) for i in range(npub)]
+        dens = jnp.stack(
+            [sub(zeta, jnp.broadcast_to(_const(fs, w), zeta.shape)) for w in omega_pows],
+            axis=0,
+        )  # (npub, B, L)
+        dens_inv = ffl.inv(fs, dens)
+        for i in range(npub):
+            li = mul(
+                mul(mul(dens_inv[i], zh), _const(fs, omega_pows[i])[None]),
+                n_inv[None],
+            )
+            pub_eval = add(pub_eval, mul(li, ffl.from_canon(proofs.public[:, i])))
+
+    gate = add(
+        add(
+            add(mul(sel["ql"], w_z[0]), mul(sel["qr"], w_z[1])),
+            add(mul(sel["qo"], w_z[2]), mul(sel["qm"], mul(w_z[0], w_z[1]))),
+        ),
+        add(sel["qc"], pub_eval),
+    )
+
+    num = den = one
+    for j in range(PERMUTS):
+        kj = _const(fs, index.shifts[j])[None]
+        num = mul(num, add(add(w_z[j], mul(mul(beta, kj), zeta)), gamma))
+        den = mul(den, add(add(w_z[j], mul(beta, sig_z[j])), gamma))
+    p2 = sub(mul(z_z, num), mul(z_zw, den))
+    # L_0(zeta)
+    l0 = mul(mul(ffl.inv(fs, sub(zeta, one)), zh), n_inv[None])
+    p1 = mul(l0, sub(z_z, one))
+
+    t_at = ffl.zeros(fs, (B,))
+    for i in reversed(range(T_CHUNKS)):
+        t_at = add(mul(t_at, zn), t_z[i])
+
+    lhs = add(gate, add(mul(alpha, p2), mul(mul(alpha, alpha), p1)))
+    eq_ok = ffl.is_zero(fs, sub(lhs, mul(zh, t_at)))  # (B,)
+
+    # ---- batched opening via one MSM ----
+    zeta_w = mul(zeta, _const(fs, index.omega)[None])
+    eval_points = jnp.stack(
+        [ffl.canon(fs, zeta), ffl.canon(fs, zeta_w)], axis=1
+    )  # (B, 2, 20)
+    idx_comms = jnp.broadcast_to(
+        jnp.asarray(index.index_comms)[None], (B, 12, 2, NLIMBS)
+    )
+    commitments = jnp.concatenate(
+        [
+            proofs.w_comm,
+            proofs.z_comm[:, None],
+            idx_comms,
+            proofs.t_comm,
+        ],
+        axis=1,
+    )  # (B, 35, 2, NLIMBS)
+    openings = ipa.DeviceOpenings(
+        commitments=commitments,
+        evals=proofs.evals,
+        eval_points=eval_points,
+        lr=proofs.lr,
+        delta=proofs.delta,
+        sg=proofs.sg,
+        z1=proofs.z1,
+        z2=proofs.z2,
+    )
+    open_ok = ipa.batch_verify(
+        curve,
+        jnp.asarray(index.g_affine),
+        jnp.asarray(index.h_affine),
+        openings,
+        rand_weights,
+        sponge=sponge,
+        v=v,
+        u=u,
+    )
+    return jnp.logical_and(jnp.all(eq_ok), open_ok)

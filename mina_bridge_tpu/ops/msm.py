@@ -160,17 +160,17 @@ def msm_sharded(
     results are all-gathered and tree-added identically on every device.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     def local(sc, pt):
         part = msm(c, sc, pt)[None]  # (1, 3, L)
         parts = jax.lax.all_gather(part, axis, axis=0, tiled=True)  # (D, 3, L)
         return _prefix_point_scan(c, parts)[-1]
 
-    fn = shard_map(
+    fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axis), P(axis)),
         out_specs=P(),
+        check_vma=False,
     )
     return fn(scalars, points)

@@ -19,6 +19,10 @@ import random
 import jax
 import pytest
 
+# The axon sitecustomize registers a TPU plugin at interpreter start and
+# pins the platform; env vars alone don't win. Force CPU via config too.
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: field/curve kernels are scan-heavy and slow
 # to compile; cache across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/mina_bridge_tpu_jax_cache")

@@ -1,0 +1,66 @@
+"""TPU (device) kimchi verifier vs host-proven fixtures."""
+
+import random
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mina_bridge_tpu.curves.srs import srs_points_host
+from mina_bridge_tpu.fields.params import NLIMBS, int_to_limbs
+from mina_bridge_tpu.kimchi import prover_host, verifier
+from tests.test_kimchi_host import build_example
+
+
+@pytest.fixture(scope="module")
+def proven():
+    curve, circuit, witness_for = build_example()
+    g, h = srs_points_host("pallas", circuit.n)
+    index = prover_host.setup(circuit, curve, g, h)
+    rng = random.Random(99)
+    proofs = []
+    for x, y in [(3, 5), (7, 11)]:
+        w, pub = witness_for(x, y)
+        proofs.append(prover_host.prove(index, circuit, w, pub, g, h, rng))
+    return curve, circuit, index, g, h, proofs
+
+
+def rand_weights(curve, B, seed=7):
+    rng = random.Random(seed)
+    return jnp.asarray(
+        np.array(
+            [
+                [
+                    int_to_limbs(rng.randrange(curve.scalar.p), NLIMBS),
+                    int_to_limbs(rng.randrange(curve.scalar.p), NLIMBS),
+                ]
+                for _ in range(B)
+            ],
+            dtype=np.int32,
+        )
+    )
+
+
+def test_device_verify_batch(proven):
+    curve, circuit, index, g, h, host_proofs = proven
+    dindex = verifier.DeviceVerifierIndex.from_host(index, g, h)
+    dproofs = verifier.DeviceProofs.from_host(host_proofs)
+    ok = verifier.verify(dindex, dproofs, rand_weights(curve, len(host_proofs)))
+    assert bool(ok)
+
+
+def test_device_reject_tampered(proven):
+    curve, circuit, index, g, h, host_proofs = proven
+    dindex = verifier.DeviceVerifierIndex.from_host(index, g, h)
+    dproofs = verifier.DeviceProofs.from_host(host_proofs)
+    import dataclasses
+
+    bad = dataclasses.replace(
+        dproofs, public=dproofs.public.at[0, 0, 0].add(1)
+    )
+    ok = verifier.verify(dindex, bad, rand_weights(curve, 2))
+    assert not bool(ok)
+
+    bad2 = dataclasses.replace(dproofs, z1=dproofs.z1.at[1, 3].add(1))
+    ok2 = verifier.verify(dindex, bad2, rand_weights(curve, 2))
+    assert not bool(ok2)
