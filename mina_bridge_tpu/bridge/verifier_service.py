@@ -1,0 +1,181 @@
+"""The Proof-of-State / Proof-of-Account verifier service (TPU-backed).
+
+TPU-native replacement for the Aligned operators' Mina verifiers
+(reference README.md:275-362; aligned fork `operator/mina/` and
+`operator/mina_account/`, SURVEY §2b). Verification steps:
+
+Proof of State (README.md:281-313):
+ 1. public-input checks — recompute every state hash and ledger hash
+    (batched device Poseidon over all 16+1 states at once) and the
+    root->tip chain linkage;
+ 2. Ouroboros Samasika consensus checks candidate-tip vs bridge-tip
+    (bridge/consensus.py);
+ 3. tip proof verification (the Pickles stand-in: batched kimchi-style
+    verifier, kimchi/verifier.py) with the tip state hash as public
+    input.
+
+Proof of Account (README.md:358-362):
+ 1. account hash (device Poseidon) -> Merkle fold along the 35-deep path
+    (bridge/merkle.py, batched) -> root == ledger hash;
+ 2. re-encoded account consistency against the pub-input encoding.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.params import NLIMBS, int_to_limbs, limbs_to_int
+from ..kimchi import verifier as kv
+from . import mina_types as mt
+from . import proof_model as pm
+from .consensus import candidate_wins
+from .merkle import device_merkle_roots
+from .sol_codec import encode_account_sol
+from .state_hash import (
+    PREFIX_ACCOUNT,
+    PREFIX_PROTO_STATE_BODY,
+    device_hash_with_prefix,
+    device_state_hashes,
+)
+
+
+def _to_limbs_arr(vals: list[int]) -> jnp.ndarray:
+    return jnp.asarray(np.stack([int_to_limbs(v, NLIMBS) for v in vals]))
+
+
+@dataclasses.dataclass
+class StateVerificationResult:
+    ok: bool
+    reason: str = ""
+
+
+def verify_proof_of_state(
+    pub: pm.MinaStatePubInputs,
+    proof: pm.MinaStateProof,
+    block_index: "kv.DeviceVerifierIndex",
+    tip_proof_device: "kv.DeviceProofs",
+    rand_weights,
+) -> StateVerificationResult:
+    n = pm.BRIDGE_TRANSITION_FRONTIER_LEN
+    if len(proof.candidate_chain_states) != n:
+        return StateVerificationResult(False, "wrong chain length")
+
+    states = [mt.PROTOCOL_STATE.decode(b) for b in proof.candidate_chain_states]
+    tip_state = mt.PROTOCOL_STATE.decode(proof.bridge_tip_state)
+
+    # -- 1a. batched body hashes + state hashes on device --
+    all_states = states + [tip_state]
+    body_fields = [pm.state_body_fields(s) for s in all_states]
+    flen = len(body_fields[0])
+    if any(len(f) != flen for f in body_fields):
+        return StateVerificationResult(False, "inconsistent body field count")
+    bf = jnp.asarray(
+        np.stack(
+            [np.stack([int_to_limbs(v, NLIMBS) for v in f]) for f in body_fields]
+        )
+    )  # (17, flen, NLIMBS)
+    body_hashes = device_hash_with_prefix(PREFIX_PROTO_STATE_BODY, bf)
+    prev_hashes = _to_limbs_arr([s["previous_state_hash"] for s in all_states])
+    state_hashes_dev = device_state_hashes(prev_hashes, body_hashes)
+    state_hashes = [limbs_to_int(np.asarray(h)) for h in state_hashes_dev]
+    cand_hashes, bridge_tip_hash = state_hashes[:n], state_hashes[n]
+
+    # -- 1b. pub input consistency --
+    if cand_hashes != pub.candidate_chain_state_hashes:
+        return StateVerificationResult(False, "state hash mismatch")
+    ledgers = [
+        s["body"]["blockchain_state"]["snarked_ledger_hash"] for s in states
+    ]
+    if ledgers != pub.candidate_chain_ledger_hashes:
+        return StateVerificationResult(False, "ledger hash mismatch")
+    if bridge_tip_hash != pub.bridge_tip_state_hash:
+        return StateVerificationResult(False, "bridge tip hash mismatch")
+
+    # -- 1c. chain linkage: state i+1 links to state i --
+    for i in range(n - 1):
+        if states[i + 1]["previous_state_hash"] != cand_hashes[i]:
+            return StateVerificationResult(False, f"chain broken at {i}")
+
+    # -- 2. consensus: candidate tip must beat the bridged tip --
+    cand_cs = pm.consensus_from_state(states[-1], cand_hashes[-1])
+    tip_cs = pm.consensus_from_state(tip_state, bridge_tip_hash)
+    if not candidate_wins(tip_cs, cand_cs):
+        return StateVerificationResult(False, "consensus: candidate not better")
+
+    # -- 3. tip proof (Pickles stand-in) --
+    pub_dev = np.asarray(tip_proof_device.public)
+    claimed = limbs_to_int(pub_dev[0, 0])
+    if claimed != cand_hashes[-1]:
+        return StateVerificationResult(False, "tip proof binds wrong hash")
+    ok = kv.verify(block_index, tip_proof_device, rand_weights)
+    if not bool(ok):
+        return StateVerificationResult(False, "tip proof invalid")
+    return StateVerificationResult(True)
+
+
+def verify_proof_of_account(
+    pub: pm.MinaAccountPubInputs, proof: pm.MinaAccountProof
+) -> StateVerificationResult:
+    account = mt.ACCOUNT.decode(proof.account)
+    # encoded account consistency (Solidity ABI encoding)
+    if encode_account_sol(account) != pub.encoded_account:
+        return StateVerificationResult(False, "encoded account mismatch")
+
+    fields = pm.account_fields(account)
+    af = jnp.asarray(np.stack([int_to_limbs(v, NLIMBS) for v in fields]))[None]
+    leaf = device_hash_with_prefix(PREFIX_ACCOUNT, af)  # (1, NLIMBS)
+
+    path = proof.merkle_path
+    sibs = _to_limbs_arr([node[1][0] for node in path])[None]
+    is_left = jnp.asarray(
+        np.array([[1 if node[0] == "Left" else 0 for node in path]], np.int32)
+    )
+    root = device_merkle_roots(leaf, sibs, is_left)
+    if limbs_to_int(np.asarray(root[0])) != pub.ledger_hash:
+        return StateVerificationResult(False, "merkle root != ledger hash")
+    return StateVerificationResult(True)
+
+
+def verify_accounts_batch(
+    pubs: list[pm.MinaAccountPubInputs], proofs: list[pm.MinaAccountProof]
+) -> list[StateVerificationResult]:
+    """Batched account verification: all leaf hashes and Merkle folds run
+    as one device batch (the bridge's account-throughput hot path)."""
+    accounts = [mt.ACCOUNT.decode(p.account) for p in proofs]
+    results = [StateVerificationResult(True) for _ in proofs]
+    for i, (a, pub) in enumerate(zip(accounts, pubs)):
+        if encode_account_sol(a) != pub.encoded_account:
+            results[i] = StateVerificationResult(False, "encoded account mismatch")
+    fields = [pm.account_fields(a) for a in accounts]
+    flen = max(len(f) for f in fields)
+    if any(len(f) != flen for f in fields):
+        # account field vectors differ only in optional parts; pad with 0
+        fields = [f + [0] * (flen - len(f)) for f in fields]
+    af = jnp.asarray(
+        np.stack([np.stack([int_to_limbs(v, NLIMBS) for v in f]) for f in fields])
+    )
+    leaves = device_hash_with_prefix(PREFIX_ACCOUNT, af)
+    depth = len(proofs[0].merkle_path)
+    sibs = jnp.asarray(
+        np.stack(
+            [
+                np.stack([int_to_limbs(nd[1][0], NLIMBS) for nd in p.merkle_path])
+                for p in proofs
+            ]
+        )
+    )
+    is_left = jnp.asarray(
+        np.array(
+            [[1 if nd[0] == "Left" else 0 for nd in p.merkle_path] for p in proofs],
+            np.int32,
+        )
+    )
+    roots = device_merkle_roots(leaves, sibs, is_left)
+    roots_host = [limbs_to_int(np.asarray(r)) for r in roots]
+    for i, (pub, r) in enumerate(zip(pubs, roots_host)):
+        if results[i].ok and r != pub.ledger_hash:
+            results[i] = StateVerificationResult(False, "merkle root != ledger hash")
+    return results
