@@ -38,7 +38,7 @@ def main():
     from mina_bridge_tpu.curves.srs import load_srs
     from mina_bridge_tpu.fields import ffl
     from mina_bridge_tpu.fields.params import NLIMBS
-    from mina_bridge_tpu.ops import msm as msm_mod
+    from mina_bridge_tpu.ops import pmsm as msm_mod
 
     log("devices:", jax.devices())
     t0 = time.time()
@@ -61,17 +61,17 @@ def main():
     f = jax.jit(msm_mod.msm, static_argnums=0)
     t0 = time.time()
     out = f(PALLAS, scalars, points)
-    out.block_until_ready()
+    _ = np.asarray(out)  # hard sync: block_until_ready is unreliable here
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     iters = 5
     t0 = time.time()
     for i in range(iters):
         out = f(PALLAS, scalars, points)
-    out.block_until_ready()
+        _ = np.asarray(out)
     dt = (time.time() - t0) / iters
     pps = N / dt
-    log(f"MSM 2^16: {dt * 1e3:.1f} ms -> {pps / 1e6:.2f} M points/s")
+    log(f"MSM 2^16: {dt * 1e3:.1f} ms -> {pps / 1e3:.1f} K points/s")
 
     print(
         json.dumps(
