@@ -1,0 +1,175 @@
+"""Proof submission + the TPU-backed batch verification service.
+
+Mirror of the reference's aligned module (core/src/aligned.rs): proofs
+are serialized (aligned.rs:33-36), optionally dumped to `.proof`/`.pub`
+files (aligned.rs:60-69, SAVE_PROOF), then submitted for batch
+verification; the returned `AlignedVerificationData` (proof commitment,
+batch merkle root, inclusion proof, index) is what the settlement
+contracts check on Ethereum (eth.rs:185-203).
+
+In the reference, verification happens on the remote Aligned operator
+fleet. Here the batcher/operator role is played by `TpuVerifierService`:
+it runs the Proof-of-State / Proof-of-Account verifiers of
+bridge/verifier_service.py (Poseidon hashing, consensus, tip proofs and
+the one-MSM opening checks all on TPU) and builds the same keccak batch
+Merkle tree the contracts consume. SURVEY §2c: the operator fleet is
+replaced by batch/point sharding over TPU meshes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pathlib
+
+from . import proof_model as pm
+from . import verifier_service as vs
+from .keccak import keccak256
+
+PROVING_SYSTEM_MINA = b"mina_bridge_tpu:ProvingSystemId:Mina"
+PROVING_SYSTEM_MINA_ACCOUNT = b"mina_bridge_tpu:ProvingSystemId:MinaAccount"
+
+
+def proving_system_commitment(tag: bytes) -> bytes:
+    return keccak256(tag)
+
+
+@dataclasses.dataclass
+class AlignedVerificationData:
+    proof_commitment: bytes
+    pub_input_commitment: bytes
+    proving_system_aux_commitment: bytes
+    batch_merkle_root: bytes
+    batch_inclusion_proof: list[bytes]
+    index_in_batch: int
+
+    def merkle_proof_bytes(self) -> bytes:
+        return b"".join(self.batch_inclusion_proof)
+
+
+def leaf_commitment(
+    proof_bytes: bytes, pub_bytes: bytes, system_tag: bytes
+) -> bytes:
+    """Leaf = keccak(proof commitment || pub-input commitment || system)."""
+    return keccak256(
+        keccak256(proof_bytes)
+        + keccak256(pub_bytes)
+        + proving_system_commitment(system_tag)
+    )
+
+
+def build_batch_merkle(leaves: list[bytes]) -> tuple[bytes, list[list[bytes]]]:
+    """Keccak Merkle tree (duplicate-last padding). Returns (root, proofs)."""
+    n = len(leaves)
+    assert n >= 1
+    level = list(leaves)
+    proofs: list[list[bytes]] = [[] for _ in range(n)]
+    index = list(range(n))
+    while len(level) > 1:
+        if len(level) % 2:
+            level.append(level[-1])
+        nxt = []
+        for i in range(0, len(level), 2):
+            nxt.append(keccak256(level[i] + level[i + 1]))
+        for j in range(n):
+            idx = index[j]
+            sib = idx ^ 1
+            proofs[j].append(level[sib if sib < len(level) else idx])
+            index[j] = idx // 2
+        level = nxt
+    return level[0], proofs
+
+
+def verify_batch_inclusion(
+    leaf: bytes, proof: list[bytes], index: int, root: bytes
+) -> bool:
+    h = leaf
+    for sib in proof:
+        if index & 1:
+            h = keccak256(sib + h)
+        else:
+            h = keccak256(h + sib)
+        index >>= 1
+    return h == root
+
+
+def save_proof_files(
+    directory: str, name: str, proof_bytes: bytes, pub_bytes: bytes
+) -> None:
+    """SAVE_PROOF dump (reference aligned.rs:60-69 writes
+    `mina_state.proof` / `mina_state.pub`)."""
+    d = pathlib.Path(directory)
+    d.mkdir(parents=True, exist_ok=True)
+    (d / f"{name}.proof").write_bytes(proof_bytes)
+    (d / f"{name}.pub").write_bytes(pub_bytes)
+
+
+class TpuVerifierService:
+    """The batcher+operator replacement: verify, then batch-commit."""
+
+    def __init__(self, block_log_n: int = 4, on_batch_root=None):
+        self.block_log_n = block_log_n
+        self.pending: list[tuple[bytes, bytes, bytes]] = []
+        # operator hook: post the batch root to the on-chain registry
+        self.on_batch_root = on_batch_root
+
+    def submit_state(
+        self,
+        pub: pm.MinaStatePubInputs,
+        proof: pm.MinaStateProof,
+        tip_proof_host,
+        rand_weights,
+    ) -> None:
+        from ..pickles import verifier as pickles
+
+        _, _, dindex, _, _ = pickles.block_setup(self.block_log_n)
+        dproofs = pickles.device_proofs([tip_proof_host])
+        result = vs.verify_proof_of_state(
+            pub, proof, dindex, dproofs, rand_weights
+        )
+        if not result.ok:
+            raise ValueError(f"state proof rejected: {result.reason}")
+        from .sol_codec import encode_state_pub_inputs_evm
+
+        self.pending.append(
+            (proof.encode(), encode_state_pub_inputs_evm(pub), PROVING_SYSTEM_MINA)
+        )
+
+    def submit_account(
+        self, pub: pm.MinaAccountPubInputs, proof: pm.MinaAccountProof
+    ) -> None:
+        result = vs.verify_proof_of_account(pub, proof)
+        if not result.ok:
+            raise ValueError(f"account proof rejected: {result.reason}")
+        from .sol_codec import encode_account_pub_inputs_evm
+
+        self.pending.append(
+            (
+                proof.encode(),
+                encode_account_pub_inputs_evm(pub),
+                PROVING_SYSTEM_MINA_ACCOUNT,
+            )
+        )
+
+    def finalize_batch(self) -> list[AlignedVerificationData]:
+        """Close the batch; emit verification data per submitted proof."""
+        assert self.pending, "empty batch"
+        leaves = [
+            leaf_commitment(p, pub, tag) for p, pub, tag in self.pending
+        ]
+        root, proofs = build_batch_merkle(leaves)
+        if self.on_batch_root is not None:
+            self.on_batch_root(root)
+        out = []
+        for i, (p, pub, tag) in enumerate(self.pending):
+            out.append(
+                AlignedVerificationData(
+                    proof_commitment=keccak256(p),
+                    pub_input_commitment=keccak256(pub),
+                    proving_system_aux_commitment=proving_system_commitment(tag),
+                    batch_merkle_root=root,
+                    batch_inclusion_proof=proofs[i],
+                    index_in_batch=i,
+                )
+            )
+        self.pending = []
+        return out

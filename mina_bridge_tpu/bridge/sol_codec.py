@@ -105,3 +105,21 @@ def encode_account_sol(account: dict) -> bytes:
 def account_commitment(encoded_account: bytes) -> bytes:
     """keccak commitment of the encoded account (on-chain comparison)."""
     return keccak256(encoded_account)
+
+
+def encode_state_pub_inputs_evm(pub) -> bytes:
+    """EVM pub-input layout consumed by MinaStateSettlement.sol: tip hash
+    word, then 16 candidate state hashes, then 16 ledger hashes (fixed
+    offsets like the reference's Yul loops, sol:98-105, 122-146)."""
+    out = sol_word(pub.bridge_tip_state_hash)
+    for h in pub.candidate_chain_state_hashes:
+        out += sol_word(h)
+    for h in pub.candidate_chain_ledger_hashes:
+        out += sol_word(h)
+    return out
+
+
+def encode_account_pub_inputs_evm(pub) -> bytes:
+    """ledger hash word || ABI-encoded account (decodable from
+    pubInput[32:], mirroring MinaAccountValidationExample.sol:51-74)."""
+    return sol_word(pub.ledger_hash) + pub.encoded_account

@@ -110,10 +110,30 @@ def verify_proof_of_state(
     claimed = limbs_to_int(pub_dev[0, 0])
     if claimed != cand_hashes[-1]:
         return StateVerificationResult(False, "tip proof binds wrong hash")
+    tip_proof_device, rand_weights = _pad_batch(tip_proof_device, rand_weights)
     ok = kv.verify(block_index, tip_proof_device, rand_weights)
     if not bool(ok):
         return StateVerificationResult(False, "tip proof invalid")
     return StateVerificationResult(True)
+
+
+def _pad_batch(proofs: "kv.DeviceProofs", rw, min_batch: int = 2):
+    """Pad a proof batch to >= min_batch by duplication: keeps the verify
+    graph at one canonical compiled shape (compile-cache friendly)."""
+    import dataclasses as _dc
+
+    B = proofs.z1.shape[0]
+    if B >= min_batch:
+        return proofs, rw
+    reps = -(-min_batch // B)
+
+    def tile(x):
+        return jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:min_batch]
+
+    return (
+        kv.DeviceProofs(**{k: tile(v) for k, v in _dc.asdict(proofs).items()}),
+        tile(rw),
+    )
 
 
 def verify_proof_of_account(

@@ -118,6 +118,11 @@ def neg(c: CurveSpec, a: Point) -> Point:
 
 
 def mul(c: CurveSpec, k: int, pt: Point) -> Point:
+    return jmul(c, k, pt)
+
+
+def mul_affine_ladder(c: CurveSpec, k: int, pt: Point) -> Point:
+    """Reference affine double-and-add (slow; used to cross-check jmul)."""
     k %= c.scalar.p
     acc: Point = None
     base = pt
@@ -130,10 +135,7 @@ def mul(c: CurveSpec, k: int, pt: Point) -> Point:
 
 
 def msm(c: CurveSpec, scalars: list[int], points: list[Point]) -> Point:
-    acc: Point = None
-    for k, pt in zip(scalars, points):
-        acc = add(c, acc, mul(c, k, pt))
-    return acc
+    return fast_msm(c, scalars, points)
 
 
 # --- Compression (arkworks-compatible 33-byte little-endian form) ----------
@@ -167,3 +169,115 @@ def decompress(c: CurveSpec, data: bytes) -> Point:
     if y_is_big != want_big:
         y = c.base.p - y
     return (x, y)
+
+
+# --- fast Jacobian arithmetic (host prover workloads) ----------------------
+
+def _jdbl(c: CurveSpec, P):
+    """Jacobian doubling (a=0)."""
+    if P is None:
+        return None
+    p = c.base.p
+    X, Y, Z = P
+    A = X * X % p
+    B = Y * Y % p
+    C = B * B % p
+    D = 2 * ((X + B) * (X + B) - A - C) % p
+    E = 3 * A % p
+    F = E * E % p
+    X3 = (F - 2 * D) % p
+    Y3 = (E * (D - X3) - 8 * C) % p
+    Z3 = 2 * Y * Z % p
+    if Z3 == 0:
+        return None
+    return (X3, Y3, Z3)
+
+
+def _jadd(c: CurveSpec, P, Q):
+    if P is None:
+        return Q
+    if Q is None:
+        return P
+    p = c.base.p
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1 = Z1 * Z1 % p
+    Z2Z2 = Z2 * Z2 % p
+    U1 = X1 * Z2Z2 % p
+    U2 = X2 * Z1Z1 % p
+    S1 = Y1 * Z2 * Z2Z2 % p
+    S2 = Y2 * Z1 * Z1Z1 % p
+    if U1 == U2:
+        if S1 != S2:
+            return None
+        return _jdbl(c, P)
+    H = (U2 - U1) % p
+    I = 4 * H * H % p
+    J = H * I % p
+    r = 2 * (S2 - S1) % p
+    V = U1 * I % p
+    X3 = (r * r - J - 2 * V) % p
+    Y3 = (r * (V - X3) - 2 * S1 * J) % p
+    Z3 = 2 * H * Z1 * Z2 % p
+    if Z3 == 0:
+        return None
+    return (X3, Y3, Z3)
+
+
+def _to_jac(pt: Point):
+    return None if pt is None else (pt[0], pt[1], 1)
+
+
+def _from_jac(c: CurveSpec, P) -> Point:
+    if P is None:
+        return None
+    p = c.base.p
+    X, Y, Z = P
+    zi = pow(Z, p - 2, p)
+    zi2 = zi * zi % p
+    return (X * zi2 % p, Y * zi2 * zi % p)
+
+
+def jmul(c: CurveSpec, k: int, pt: Point) -> Point:
+    k %= c.scalar.p
+    acc = None
+    base = _to_jac(pt)
+    while k:
+        if k & 1:
+            acc = _jadd(c, acc, base)
+        base = _jdbl(c, base)
+        k >>= 1
+    return _from_jac(c, acc)
+
+
+def fast_msm(c: CurveSpec, scalars: list[int], points: list[Point]) -> Point:
+    """Host Pippenger over Jacobian coordinates (13-bit windows)."""
+    W = 13
+    nwin = (255 + W - 1) // W
+    jpts = [_to_jac(pt) for pt in points]
+    acc = None
+    for w in reversed(range(nwin)):
+        if acc is not None:
+            for _ in range(W):
+                acc = _jdbl(c, acc)
+        buckets: dict[int, object] = {}
+        for k, pt in zip(scalars, jpts):
+            d = (k >> (W * w)) & ((1 << W) - 1)
+            if d and pt is not None:
+                buckets[d] = _jadd(c, buckets.get(d), pt)
+        if buckets:
+            # direct weighted sum: d * bucket via 13-bit double-and-add
+            total = None
+            for d, b in buckets.items():
+                contrib = b
+                # d * b via double-and-add on the small 13-bit d
+                s = None
+                dd = d
+                while dd:
+                    if dd & 1:
+                        s = _jadd(c, s, contrib)
+                    contrib = _jdbl(c, contrib)
+                    dd >>= 1
+                total = _jadd(c, total, s)
+            acc = _jadd(c, acc, total)
+    return _from_jac(c, acc)
