@@ -14,9 +14,18 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..fields import ff
-from .state_hash import PREFIX_MERKLE_TREE, device_hash_with_prefix, host_hash_with_prefix
+from ..fields import ff, ffl
+from ..fields.params import int_to_limbs
+from ..hash import poseidon
+from ..hash.poseidon_params import RATE, WIDTH, poseidon_spec
+from .state_hash import (
+    PREFIX_MERKLE_TREE,
+    device_hash_with_prefix,
+    host_hash_with_prefix,
+    prefix_to_field,
+)
 
 LEDGER_DEPTH = 35  # Mina ledger depth (reference account_proof merkle_path)
 
@@ -41,14 +50,45 @@ def device_merkle_roots(
     siblings: jax.Array,  # (B, depth, NLIMBS)
     sibling_is_left: jax.Array,  # (B, depth) int32 (1 = sibling on left)
 ) -> jax.Array:
-    """Batched Merkle fold: one Poseidon level per step, B accounts wide."""
+    """Batched Merkle fold: one Poseidon level per step, B accounts wide.
+
+    All levels run under ONE lax.scan (depth-tagged prefixes are scanned
+    constants), so the compiled graph has a single sponge instance.
+    """
+    ps = poseidon_spec("fp")
     depth = siblings.shape[1]
-    h = leaves
-    for d in range(depth):
-        sib = siblings[:, d]
-        is_left = sibling_is_left[:, d]
+    B = leaves.shape[0]
+    prefixes = np.stack(
+        [
+            int_to_limbs(prefix_to_field(f"{PREFIX_MERKLE_TREE}[{d}]"), ffl.REP_LIMBS)
+            for d in range(depth)
+        ]
+    )  # (depth, L)
+
+    def level(h, inp):
+        sib, is_left, pref = inp
         left = ff.select(is_left.astype(bool), sib, h)
         right = ff.select(is_left.astype(bool), h, sib)
-        pair = jnp.stack([left, right], axis=-2)
-        h = device_hash_with_prefix(f"{PREFIX_MERKLE_TREE}[{d}]", pair)
-    return h
+        # sponge: absorb prefix, left (permute), right (permute), squeeze
+        state = poseidon.initial_state(ps, (B,))
+        state = state.at[..., 0, :].set(ffl.from_canon(jnp.broadcast_to(pref[None], (B, ffl.REP_LIMBS))))
+        state = state.at[..., 1, :].set(
+            ffl.add(ps.field, state[..., 1, :], ffl.from_canon(left))
+        )
+        state = poseidon.permute(ps, state)
+        state = state.at[..., 0, :].set(
+            ffl.add(ps.field, state[..., 0, :], ffl.from_canon(right))
+        )
+        state = poseidon.permute(ps, state)
+        return ffl.canon(ps.field, state[..., 0, :]), None
+
+    out, _ = jax.lax.scan(
+        level,
+        leaves,
+        (
+            jnp.moveaxis(siblings, 1, 0),
+            jnp.moveaxis(sibling_is_left, 1, 0),
+            jnp.asarray(prefixes),
+        ),
+    )
+    return out

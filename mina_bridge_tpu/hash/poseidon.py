@@ -102,11 +102,30 @@ def hash_fixed(ps: PoseidonSpec, inputs: jax.Array) -> jax.Array:
     inputs = _to_rep(inputs)
     n = inputs.shape[-2]
     state = initial_state(ps, inputs.shape[:-2])
-    for start in range(0, n, RATE):
-        chunk = inputs[..., start : start + RATE, :]
-        k = chunk.shape[-2]
+    nfull = n - (n % RATE)
+    if nfull:
+        # all full rate-2 chunks under ONE scanned permutation instance
+        chunks = inputs[..., :nfull, :]
+        chunks = jnp.moveaxis(
+            chunks.reshape(
+                chunks.shape[:-2] + (nfull // RATE, RATE, chunks.shape[-1])
+            ),
+            -3,
+            0,
+        )  # (n/2, ..., RATE, L)
+
+        def body(st, chunk):
+            st = st.at[..., :RATE, :].set(
+                ffl.add(ps.field, st[..., :RATE, :], chunk)
+            )
+            return permute(ps, st), None
+
+        state, _ = jax.lax.scan(body, state, chunks)
+    if n % RATE:
+        tail = inputs[..., nfull:, :]
+        k = tail.shape[-2]
         state = state.at[..., :k, :].set(
-            ffl.add(ps.field, state[..., :k, :], chunk)
+            ffl.add(ps.field, state[..., :k, :], tail)
         )
         state = permute(ps, state)
     if n == 0:

@@ -37,7 +37,7 @@ from .prover_host import T_CHUNKS, HostProof, VerifierIndexHost
 N_OPENED = COLUMNS + 1 + PERMUTS + 5 + T_CHUNKS
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity hash: usable as a jit static arg
 class DeviceVerifierIndex:
     """Static (host-resident) index data + device constants."""
 
@@ -76,6 +76,14 @@ class DeviceVerifierIndex:
         )
 
 
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "public", "w_comm", "z_comm", "t_comm", "evals",
+        "lr", "delta", "sg", "z1", "z2",
+    ],
+    meta_fields=[],
+)
 @dataclasses.dataclass
 class DeviceProofs:
     """B stacked proofs (all canonical little-endian limb arrays)."""
@@ -141,6 +149,7 @@ def _const(spec, x: int) -> jax.Array:
     return jnp.asarray(int_to_limbs(x % spec.p, ffl.REP_LIMBS))
 
 
+@functools.partial(jax.jit, static_argnums=0)
 def verify(
     index: DeviceVerifierIndex, proofs: DeviceProofs, rand_weights: jax.Array
 ) -> jax.Array:

@@ -141,3 +141,27 @@ def test_state_proof_model_roundtrip(prng):
     assert pm.MinaStateProof.decode(proof.encode()) == proof
     # device-hashed chain linkage matches host hashing
     assert pub.candidate_chain_state_hashes[0] == pm.host_full_state_hash(states[0])
+
+
+def test_mina_signer_roundtrip(prng):
+    from mina_bridge_tpu.bridge import mina_signer as ms
+
+    kp = ms.Keypair(secret=prng.randrange(1, 2**200))
+    addr = kp.address
+    assert ms.decode_address(addr) == kp.public
+    msg = [prng.randrange(100) for _ in range(3)]
+    sig = ms.sign(kp, msg)
+    assert ms.verify(kp.public, msg, sig)
+    assert not ms.verify(kp.public, [msg[0] + 1] + msg[1:], sig)
+    other = ms.Keypair(secret=kp.secret + 1)
+    assert not ms.verify(other.public, msg, sig)
+
+
+def test_batch_merkle_inclusion(prng):
+    from mina_bridge_tpu.bridge import aligned as al
+
+    leaves = [prng.randbytes(32) for _ in range(5)]
+    root, proofs = al.build_batch_merkle(leaves)
+    for i, leaf in enumerate(leaves):
+        assert al.verify_batch_inclusion(leaf, proofs[i], i, root)
+    assert not al.verify_batch_inclusion(leaves[0], proofs[1], 1, root)
