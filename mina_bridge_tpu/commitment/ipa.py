@@ -389,11 +389,17 @@ def _split_128_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _powers(spec, base_rep: jax.Array, count: int) -> list[jax.Array]:
-    """[1, b, b^2, ...] as REP arrays (static count)."""
-    out = [jnp.broadcast_to(ffl.ones(spec), base_rep.shape).astype(jnp.int32)]
-    for _ in range(count - 1):
-        out.append(ffl.mul(spec, out[-1], base_rep))
-    return out
+    """[1, b, b^2, ...] as REP arrays via doubling (log(count) mul calls)."""
+    pows = jnp.broadcast_to(ffl.ones(spec), base_rep.shape).astype(jnp.int32)[
+        None
+    ]  # (1, ..., L)
+    sq = base_rep  # base^(2^t)
+    while pows.shape[0] < count:
+        block = ffl.mul(spec, pows, sq[None])  # one batched call
+        pows = jnp.concatenate([pows, block], axis=0)[: max(count, 1)]
+        if pows.shape[0] < count:
+            sq = ffl.mul(spec, sq, sq)
+    return [pows[i] for i in range(count)]
 
 
 def batch_verify(
@@ -431,13 +437,13 @@ def batch_verify(
 
     v_pows = _powers(fs, v, m)
     u_pows = _powers(fs, u, npts)
-    vprime = ffl.zeros(fs, (B,))
-    for i in range(m):
-        for j in range(npts):
-            term = ffl.mul(
-                fs, v_pows[i], ffl.mul(fs, u_pows[j], ffl.from_canon(openings.evals[:, i, j]))
-            )
-            vprime = ffl.add(fs, vprime, term)
+    # vprime = sum_{i,j} v^i u^j evals[i,j]: fully batched (3 mul calls)
+    vp_stack = jnp.stack(v_pows)  # (m, B, L)
+    up_stack = jnp.stack(u_pows)  # (npts, B, L)
+    coeff = ffl.mul(fs, vp_stack[:, None], up_stack[None, :])  # (m,npts,B,L)
+    ev_rep = ffl.from_canon(jnp.moveaxis(openings.evals, 0, 2))  # (m,npts,B,L)
+    terms = ffl.mul(fs, coeff, ev_rep).reshape(m * npts, B, ffl.REP_LIMBS)
+    vprime = _sum_over_batch(fs, terms, axis=0)
     vprime_c = ffl.canon(fs, vprime)
     lo, hi = _split_128_device(vprime_c)
     ops = [("absorb", lo), ("absorb", hi), ("squeeze",)]
@@ -493,11 +499,11 @@ def batch_verify(
     sc_sg = ffl.canon(fs, ffl.add(fs, mulf(w, z1), rho))  # (B, 20)
     sc_delta = ffl.canon(fs, neg(w))
     sc_l = ffl.canon(
-        fs, jnp.stack([neg(mulf(wc, ci)) for ci in chal_invs], axis=1)
+        fs, neg(mulf(wc[None], chal_inv_stack)).transpose(1, 0, 2)
     )  # (B, k, 20)
-    sc_r = ffl.canon(fs, jnp.stack([neg(mulf(wc, ch)) for ch in chals], axis=1))
+    sc_r = ffl.canon(fs, neg(mulf(wc[None], chal_stack)).transpose(1, 0, 2))
     sc_comm = ffl.canon(
-        fs, jnp.stack([neg(mulf(wc, v_pows[i])) for i in range(m)], axis=1)
+        fs, neg(mulf(wc[None], vp_stack)).transpose(1, 0, 2)
     )  # (B, m, 20)
 
     # --- point assembly ---

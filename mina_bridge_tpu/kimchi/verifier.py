@@ -240,11 +240,28 @@ def verify(
         add(sel["qc"], pub_eval),
     )
 
-    num = den = one
-    for j in range(PERMUTS):
-        kj = _const(fs, index.shifts[j])[None]
-        num = mul(num, add(add(w_z[j], mul(mul(beta, kj), zeta)), gamma))
-        den = mul(den, add(add(w_z[j], mul(beta, sig_z[j])), gamma))
+    # batched permutation products over the 7 columns (tree-reduced)
+    w_stack = ev[:, :PERMUTS, 0].transpose(1, 0, 2)  # (7, B, L)
+    sig_stack = ev[:, COLUMNS + 1 : COLUMNS + 1 + PERMUTS, 0].transpose(1, 0, 2)
+    k_stack = jnp.stack([_const(fs, k) for k in index.shifts])[:, None]  # (7,1,L)
+    num_f = add(add(w_stack, mul(mul(beta[None], k_stack), zeta[None])), gamma[None])
+    den_f = add(add(w_stack, mul(beta[None], sig_stack)), gamma[None])
+
+    def tree_prod(x):
+        n = x.shape[0]
+        while n > 1:
+            half = n // 2
+            red = mul(x[:half], x[half : 2 * half])
+            if n % 2:
+                red = jnp.concatenate([red, x[-1:]], axis=0)
+                n = half + 1
+            else:
+                n = half
+            x = red
+        return x[0]
+
+    num = tree_prod(num_f)
+    den = tree_prod(den_f)
     p2 = sub(mul(z_z, num), mul(z_zw, den))
     # L_0(zeta)
     l0 = mul(mul(ffl.inv(fs, sub(zeta, one)), zh), n_inv[None])
