@@ -304,3 +304,14 @@ def run_transcript(
     out_sponge.mode = mode
     out_sponge.offset = offset
     return squeezed, out_sponge
+
+
+def host_permute_round(ps: PoseidonSpec, state: list[int], r: int) -> list[int]:
+    """One full round (sbox -> MDS -> +rc[r]); the poseidon gate's round."""
+    p = ps.field.p
+    st = [pow(x, 7, p) for x in state]
+    st = [
+        sum(ps.mds[i][j] * st[j] for j in range(WIDTH)) % p
+        for i in range(WIDTH)
+    ]
+    return [(st[i] + ps.round_constants[r][i]) % p for i in range(WIDTH)]

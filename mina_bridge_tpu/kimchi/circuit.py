@@ -1,25 +1,26 @@
-"""PLONK circuit representation: generic gates + 7-column permutation.
+"""PLONK circuit representation: kimchi-style gates + 7-column permutation.
 
-The constraint system skeleton of the Kimchi verifier stack (reference
-README.md:396-405: 15 registers, permutation argument; gates pinned in the
-`kimchi` crate, core/Cargo.toml:14). Round-1 scope: the generic gate
-(ql*w0 + qr*w1 + qo*w2 + qm*w0*w1 + qc + p(X) = 0) plus the full
-7-column permutation argument — the structural core shared by every
-kimchi gate; custom gates (poseidon, EC ops, lookups) layer on the same
-machinery. See PARITY.md for the deviation ledger.
+The constraint system of the Kimchi verifier stack (reference
+README.md:396-405: 15 registers, custom gates, permutation argument;
+gates pinned in the `kimchi` crate, core/Cargo.toml:14). Gate set:
+generic, poseidon (5 full rounds/row) and complete_add (kimchi
+CompleteAdd), with 15 coefficient columns carrying per-row constants
+(generic selectors, poseidon round constants) — the kimchi column model.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
-import random
 
 from ..fields.params import FieldSpec
-from .domain import Domain, fft, ifft
+from ..hash.poseidon_params import WIDTH, poseidon_spec
+from . import gates as G
+from .domain import Domain, ifft
 
 COLUMNS = 15  # kimchi register count (README.md:398)
 PERMUTS = 7  # columns under copy constraints
+COEFFS = 15  # coefficient columns
 
 
 @functools.cache
@@ -42,7 +43,7 @@ def shifts(field: FieldSpec, log_size: int) -> tuple[int, ...]:
 
 @dataclasses.dataclass
 class Circuit:
-    """Fixed circuit: selectors per row + wiring permutation.
+    """Fixed circuit: per-row gate kind + coefficients + wiring.
 
     wiring[(col, row)] = (col', row') — the permutation sends each cell of
     the first PERMUTS columns to the next cell in its copy-cycle.
@@ -50,11 +51,8 @@ class Circuit:
 
     domain: Domain
     npub: int
-    ql: list[int]
-    qr: list[int]
-    qo: list[int]
-    qm: list[int]
-    qc: list[int]
+    coeffs: list[list[int]]  # [COEFFS][n]
+    sel: dict[str, list[int]]  # gate name -> 0/1 per row
     wiring: dict
 
     @property
@@ -62,57 +60,67 @@ class Circuit:
         return self.domain.n
 
     def sigma_evals(self) -> list[list[int]]:
-        """Evaluations of sigma_0..sigma_6 on H."""
         p = self.domain.field.p
         ks = shifts(self.domain.field, self.domain.log_size)
         omega = self.domain.omega
         pow_omega = [1] * self.n
         for i in range(1, self.n):
             pow_omega[i] = pow_omega[i - 1] * omega % p
-        sig = [[ks[c] * pow_omega[r] % p for r in range(self.n)] for c in range(PERMUTS)]
+        sig = [
+            [ks[c] * pow_omega[r] % p for r in range(self.n)]
+            for c in range(PERMUTS)
+        ]
         for (c, r), (c2, r2) in self.wiring.items():
             sig[c][r] = ks[c2] * pow_omega[r2] % p
         return sig
 
-    def selector_coeffs(self) -> dict[str, list[int]]:
-        d = self.domain
-        return {
-            "ql": ifft(d, self.ql),
-            "qr": ifft(d, self.qr),
-            "qo": ifft(d, self.qo),
-            "qm": ifft(d, self.qm),
-            "qc": ifft(d, self.qc),
-        }
+    def coeff_coeffs(self) -> list[list[int]]:
+        return [ifft(self.domain, col) for col in self.coeffs]
+
+    def sel_coeffs(self) -> dict[str, list[int]]:
+        return {k: ifft(self.domain, v) for k, v in self.sel.items()}
 
     def check_witness(self, w: list[list[int]], pub: list[int]) -> None:
-        """Debug: assert all constraints hold on the witness."""
+        """Debug: assert every gate + copy constraint holds."""
         p = self.domain.field.p
-        for i in range(self.n):
+        ops = G.host_ops(p)
+        ps = poseidon_spec(self.domain.field.name)
+        n = self.n
+        for i in range(n):
+            row = G.RowView(
+                w=[w[c][i] for c in range(COLUMNS)],
+                w_next=[w[c][(i + 1) % n] for c in range(COLUMNS)],
+                c=[self.coeffs[c][i] for c in range(COEFFS)],
+            )
             pub_i = pub[i] if i < len(pub) else 0
-            g = (
-                self.ql[i] * w[0][i]
-                + self.qr[i] * w[1][i]
-                + self.qo[i] * w[2][i]
-                + self.qm[i] * w[0][i] * w[1][i]
-                + self.qc[i]
-                + pub_i
-            ) % p
-            assert g == 0, f"gate constraint failed at row {i}"
+            if self.sel[G.GATE_GENERIC][i]:
+                for e in G.generic_constraints(ops, row, pub_i):
+                    assert e == 0, f"generic constraint failed at row {i}"
+            if self.sel[G.GATE_POSEIDON][i]:
+                for j, e in enumerate(G.poseidon_constraints(ops, row, ps)):
+                    assert e == 0, f"poseidon constraint {j} failed at row {i}"
+            if self.sel[G.GATE_COMPLETE_ADD][i]:
+                for j, e in enumerate(G.complete_add_constraints(ops, row)):
+                    assert e == 0, f"complete_add constraint {j} failed row {i}"
         for (c, r), (c2, r2) in self.wiring.items():
             assert w[c][r] == w[c2][r2], f"copy constraint failed {(c, r)}"
 
 
 class CircuitBuilder:
-    """Tiny builder for test circuits: public inputs + a*b=c / a+b=c gates."""
+    """Builder: generic helper gates + poseidon/EC gadgets.
+
+    `rows` entries are either a 5-tuple (generic row: ql qr qo qm qc) or
+    a pair (gate_name, coeffs15) for custom gates.
+    """
 
     def __init__(self, field: FieldSpec, log_size: int):
         self.domain = Domain(field, log_size)
-        self.rows: list[tuple[int, int, int, int, int]] = []
+        self.rows: list = []
         self.cycles: list[list[tuple[int, int]]] = []
         self.npub = 0
 
+    # --- generic helpers (compatible with the round-1 API) ---
     def public_input(self) -> tuple[int, int]:
-        """Reserve a public-input row (w0 = pub); returns cell (0, row)."""
         assert not self.rows or self.npub == len(self.rows), "publics first"
         row = len(self.rows)
         p = self.domain.field.p
@@ -121,7 +129,6 @@ class CircuitBuilder:
         return (0, row)
 
     def mul_gate(self) -> tuple:
-        """w0 * w1 = w2; returns cells ((0,r), (1,r), (2,r))."""
         row = len(self.rows)
         p = self.domain.field.p
         self.rows.append((0, 0, p - 1, 1, 0))
@@ -133,15 +140,72 @@ class CircuitBuilder:
         self.rows.append((1, 1, p - 1, 0, 0))
         return ((0, row), (1, row), (2, row))
 
+    def zero_row(self) -> int:
+        """A constraint-free row (pass-through cells)."""
+        row = len(self.rows)
+        self.rows.append((0, 0, 0, 0, 0))
+        return row
+
+    # --- kimchi gadgets ---
+    def poseidon_permutation(self) -> tuple[list, list, list[int]]:
+        """Add an 11-row poseidon permutation + 1 output row.
+
+        Returns (input_cells, output_cells, rows): input cells are
+        (col 0..2, first row); outputs are (col 0..2, output row).
+        """
+        ps = poseidon_spec(self.domain.field.name)
+        nrows = len(ps.round_constants) // G.ROUNDS_PER_ROW  # 11
+        first = len(self.rows)
+        for r in range(nrows):
+            coeffs = [0] * COEFFS
+            for i in range(G.ROUNDS_PER_ROW):
+                for j in range(WIDTH):
+                    coeffs[3 * i + j] = ps.round_constants[
+                        G.ROUNDS_PER_ROW * r + i
+                    ][j]
+            self.rows.append((G.GATE_POSEIDON, coeffs))
+        out_row = self.zero_row()
+        ins = [(j, first) for j in range(WIDTH)]
+        outs = [(j, out_row) for j in range(WIDTH)]
+        return ins, outs, list(range(first, out_row + 1))
+
+    def complete_add(self) -> dict:
+        """Add one complete_add row; returns the register cell map."""
+        row = len(self.rows)
+        self.rows.append((G.GATE_COMPLETE_ADD, None))
+        names = "x1 y1 x2 y2 x3 y3 inf same_x s inf_z x21_inv".split()
+        return {name: (i, row) for i, name in enumerate(names)} | {"row": row}
+
     def connect(self, cells: list[tuple[int, int]]) -> None:
-        """Constrain all cells to carry the same value (one copy-cycle)."""
         self.cycles.append(list(cells))
 
     def build(self) -> Circuit:
         n = self.domain.n
-        assert len(self.rows) <= n
-        pad = [(0, 0, 0, 0, 0)] * (n - len(self.rows))
-        rows = self.rows + pad
+        assert len(self.rows) <= n, f"{len(self.rows)} rows > domain {n}"
+        coeffs = [[0] * n for _ in range(COEFFS)]
+        sel = {g: [0] * n for g in G.GATE_ORDER}
+        for i, spec in enumerate(self.rows):
+            if isinstance(spec, tuple) and len(spec) == 5 and not isinstance(
+                spec[0], str
+            ):
+                sel[G.GATE_GENERIC][i] = 1
+                for j in range(5):
+                    coeffs[j][i] = spec[j]
+            else:
+                kind, cf = spec
+                sel[kind][i] = 1
+                if cf:
+                    for j in range(COEFFS):
+                        coeffs[j][i] = cf[j]
+        # zero rows: leave all selectors off
+        for i, spec in enumerate(self.rows):
+            if (
+                isinstance(spec, tuple)
+                and len(spec) == 5
+                and not isinstance(spec[0], str)
+                and all(v == 0 for v in spec)
+            ):
+                sel[G.GATE_GENERIC][i] = 0
         wiring = {}
         for cyc in self.cycles:
             for i, cell in enumerate(cyc):
@@ -149,10 +213,7 @@ class CircuitBuilder:
         return Circuit(
             domain=self.domain,
             npub=self.npub,
-            ql=[r[0] for r in rows],
-            qr=[r[1] for r in rows],
-            qo=[r[2] for r in rows],
-            qm=[r[3] for r in rows],
-            qc=[r[4] for r in rows],
+            coeffs=coeffs,
+            sel=sel,
             wiring=wiring,
         )

@@ -31,10 +31,9 @@ from ..fields import ffl
 from ..fields.params import NLIMBS, int_to_limbs
 from ..hash import poseidon
 from ..hash.poseidon_params import poseidon_spec
-from .circuit import COLUMNS, PERMUTS
-from .prover_host import T_CHUNKS, HostProof, VerifierIndexHost
-
-N_OPENED = COLUMNS + 1 + PERMUTS + 5 + T_CHUNKS
+from . import gates as G
+from .circuit import COEFFS, COLUMNS, PERMUTS
+from .prover_host import ALPHA_PERM, N_OPENED, T_CHUNKS, HostProof, VerifierIndexHost
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: usable as a jit static arg
@@ -48,9 +47,11 @@ class DeviceVerifierIndex:
     omega: int
     shifts: tuple[int, ...]
     digest: int
-    index_comms: np.ndarray  # (12, 2, NLIMBS): sigma[7] + ql,qr,qo,qm,qc
+    # (25, 2, NLIMBS): sigma[7] + coeffs[15] + sel[generic,poseidon,add]
+    index_comms: np.ndarray
     g_affine: np.ndarray  # (n, 2, NLIMBS)
     h_affine: np.ndarray  # (2, NLIMBS)
+    field_name: str = "fq"
 
     @classmethod
     def from_host(cls, index: VerifierIndexHost, g, h) -> "DeviceVerifierIndex":
@@ -60,7 +61,8 @@ class DeviceVerifierIndex:
             return np.stack([int_to_limbs(pt[0], NLIMBS), int_to_limbs(pt[1], NLIMBS)])
 
         comms = [aff(p) for p in index.sigma_comm]
-        comms += [aff(index.sel_comm[k]) for k in "ql qr qo qm qc".split()]
+        comms += [aff(p) for p in index.coeff_comm]
+        comms += [aff(index.sel_comm[g_]) for g_ in G.GATE_ORDER]
         n = index.domain.n
         return cls(
             curve=index.curve,
@@ -73,6 +75,7 @@ class DeviceVerifierIndex:
             index_comms=np.stack(comms),
             g_affine=np.stack([aff(p) for p in g[:n]]),
             h_affine=aff(h),
+            field_name=index.domain.field.name,
         )
 
 
@@ -193,16 +196,22 @@ def verify(
     beta, gamma, alpha, zeta, v, u = [ffl.from_canon(x & mask128) for x in sq]
 
     # ---- scalar identity at zeta ----
-    ev = ffl.from_canon(proofs.evals)  # (B, 35, 2, L)
+    ev = ffl.from_canon(proofs.evals)  # (B, 48, 2, L)
+    off = 0
     w_z = [ev[:, i, 0] for i in range(COLUMNS)]
-    z_z = ev[:, COLUMNS, 0]
-    z_zw = ev[:, COLUMNS, 1]
-    sig_z = [ev[:, COLUMNS + 1 + j, 0] for j in range(PERMUTS)]
-    sel = {
-        k: ev[:, COLUMNS + 1 + PERMUTS + i, 0]
-        for i, k in enumerate("ql qr qo qm qc".split())
-    }
-    t_z = [ev[:, COLUMNS + 1 + PERMUTS + 5 + i, 0] for i in range(T_CHUNKS)]
+    w_zw = [ev[:, i, 1] for i in range(COLUMNS)]
+    off += COLUMNS
+    z_z = ev[:, off, 0]
+    z_zw = ev[:, off, 1]
+    off += 1
+    sig_off = off
+    sig_z = [ev[:, off + j, 0] for j in range(PERMUTS)]
+    off += PERMUTS
+    coeff_z = [ev[:, off + j, 0] for j in range(COEFFS)]
+    off += COEFFS
+    sel_z = {g_: ev[:, off + i, 0] for i, g_ in enumerate(G.GATE_ORDER)}
+    off += len(G.GATE_ORDER)
+    t_z = [ev[:, off + i, 0] for i in range(T_CHUNKS)]
 
     mul = lambda a, b: ffl.mul(fs, a, b)
     add = lambda a, b: ffl.add(fs, a, b)
@@ -232,17 +241,26 @@ def verify(
             )
             pub_eval = add(pub_eval, mul(li, ffl.from_canon(proofs.public[:, i])))
 
-    gate = add(
-        add(
-            add(mul(sel["ql"], w_z[0]), mul(sel["qr"], w_z[1])),
-            add(mul(sel["qo"], w_z[2]), mul(sel["qm"], mul(w_z[0], w_z[1]))),
+    # gate constraints via the shared expressions (device field ops)
+    from ..hash.poseidon_params import poseidon_spec as _pspec
+
+    dev_ops = G.FieldOps(
+        add=add,
+        sub=sub,
+        mul=mul,
+        const=lambda v: jnp.broadcast_to(_const(fs, v), zeta.shape).astype(
+            jnp.int32
         ),
-        add(sel["qc"], pub_eval),
+    )
+    alpha_pows = ipa._powers(fs, alpha, ALPHA_PERM + 2)
+    row = G.RowView(w=w_z, w_next=w_zw, c=coeff_z)
+    gate = G.all_gate_constraints(
+        dev_ops, row, sel_z, pub_eval, _pspec(index.field_name), alpha_pows
     )
 
     # batched permutation products over the 7 columns (tree-reduced)
     w_stack = ev[:, :PERMUTS, 0].transpose(1, 0, 2)  # (7, B, L)
-    sig_stack = ev[:, COLUMNS + 1 : COLUMNS + 1 + PERMUTS, 0].transpose(1, 0, 2)
+    sig_stack = ev[:, sig_off : sig_off + PERMUTS, 0].transpose(1, 0, 2)
     k_stack = jnp.stack([_const(fs, k) for k in index.shifts])[:, None]  # (7,1,L)
     num_f = add(add(w_stack, mul(mul(beta[None], k_stack), zeta[None])), gamma[None])
     den_f = add(add(w_stack, mul(beta[None], sig_stack)), gamma[None])
@@ -271,7 +289,13 @@ def verify(
     for i in reversed(range(T_CHUNKS)):
         t_at = add(mul(t_at, zn), t_z[i])
 
-    lhs = add(gate, add(mul(alpha, p2), mul(mul(alpha, alpha), p1)))
+    lhs = add(
+        gate,
+        add(
+            mul(alpha_pows[ALPHA_PERM], p2),
+            mul(alpha_pows[ALPHA_PERM + 1], p1),
+        ),
+    )
     eq_ok = ffl.is_zero(fs, sub(lhs, mul(zh, t_at)))  # (B,)
 
     # ---- batched opening via one MSM ----
@@ -279,8 +303,9 @@ def verify(
     eval_points = jnp.stack(
         [ffl.canon(fs, zeta), ffl.canon(fs, zeta_w)], axis=1
     )  # (B, 2, 20)
+    n_idx = index.index_comms.shape[0]
     idx_comms = jnp.broadcast_to(
-        jnp.asarray(index.index_comms)[None], (B, 12, 2, NLIMBS)
+        jnp.asarray(index.index_comms)[None], (B, n_idx, 2, NLIMBS)
     )
     commitments = jnp.concatenate(
         [

@@ -1,0 +1,155 @@
+"""Kimchi custom gates: poseidon + complete_add circuits, host and device."""
+
+import random
+
+import pytest
+
+from mina_bridge_tpu.curves import PALLAS, VESTA, host as hc
+from mina_bridge_tpu.curves.srs import srs_points_host
+from mina_bridge_tpu.fields import host as fh
+from mina_bridge_tpu.hash import poseidon
+from mina_bridge_tpu.hash.poseidon_params import poseidon_spec
+from mina_bridge_tpu.kimchi import gates as G, prover_host
+from mina_bridge_tpu.kimchi.circuit import COLUMNS, CircuitBuilder
+
+FS = PALLAS.scalar
+
+
+def build_gate_circuit():
+    """1 public input + 1 poseidon permutation + 1 complete_add row."""
+    b = CircuitBuilder(FS, 5)  # 32 rows
+    pub = b.public_input()
+    pos_in, pos_out, pos_rows = b.poseidon_permutation()
+    add_cells = b.complete_add()
+    # bind the poseidon output lane 0 to the public input
+    b.connect([pos_out[0], pub])
+    return b, pub, pos_in, pos_out, pos_rows, add_cells
+
+
+def fill_witness(b, circuit, pos_rows, add_cells, state0, P, Q):
+    ps = poseidon_spec(FS.name)
+    p = FS.p
+    n = circuit.n
+    w = [[0] * n for _ in range(COLUMNS)]
+
+    # poseidon rows: states 5r..5r+4 in w[0..14]; output row gets final
+    states = [list(state0)]
+    for _ in range(len(ps.round_constants)):
+        states.append(poseidon.host_permute_round(ps, states[-1], len(states) - 1))
+    for ridx, row in enumerate(pos_rows[:-1]):
+        for i in range(G.ROUNDS_PER_ROW):
+            st = states[5 * ridx + i]
+            for j in range(3):
+                w[3 * i + j][row] = st[j]
+    out_row = pos_rows[-1]
+    final = states[-1]
+    for j in range(3):
+        w[j][out_row] = final[j]
+
+    # public row 0: poseidon output lane 0
+    w[0][0] = final[0]
+
+    # complete_add row
+    row = add_cells["row"]
+    (x1, y1), (x2, y2) = P, Q
+    same_x = int(x1 == x2)
+    if same_x:
+        s = 3 * x1 * x1 * fh.finv(FS, 2 * y1 % p) % p if y1 else 0
+        x21_inv = 0
+        inf = int((y1 + y2) % p == 0)
+        y21 = (y2 - y1) % p
+        inf_z = fh.finv(FS, y21) if y21 else 0
+    else:
+        s = (y2 - y1) * fh.finv(FS, (x2 - x1) % p) % p
+        x21_inv = fh.finv(FS, (x2 - x1) % p)
+        inf = 0
+        inf_z = 0
+    x3 = (s * s - x1 - x2) % p
+    y3 = (s * (x1 - x3) - y1) % p
+    vals = [x1, y1, x2, y2, x3, y3, inf, same_x, s, inf_z, x21_inv]
+    for i, v in enumerate(vals):
+        w[i][row] = v % p
+    return w, [final[0]], (x3, y3, inf)
+
+
+@pytest.fixture(scope="module")
+def gate_world():
+    rng = random.Random(0x6A7E)
+    b, pub, pos_in, pos_out, pos_rows, add_cells = build_gate_circuit()
+    circuit = b.build()
+    state0 = [rng.randrange(FS.p) for _ in range(3)]
+    # the circuit field FS = Fq is VESTA's base field: the complete_add
+    # gate constrains Vesta points (kimchi's step/wrap duality)
+    P = hc.mul(VESTA, rng.randrange(2, 1 << 64), VESTA.generator)
+    Q = hc.mul(VESTA, rng.randrange(2, 1 << 64), VESTA.generator)
+    w, public, out = fill_witness(b, circuit, pos_rows, add_cells, state0, P, Q)
+    return rng, circuit, w, public, state0, P, Q, out
+
+
+def test_gate_witness_satisfies(gate_world):
+    rng, circuit, w, public, state0, P, Q, out = gate_world
+    circuit.check_witness(w, public)
+    # poseidon output matches the sponge permutation
+    ps = poseidon_spec(FS.name)
+    assert public[0] == poseidon.host_permute(ps, state0)[0]
+    # complete_add output matches the host curve law
+    x3, y3, inf = out
+    want = hc.add(VESTA, P, Q)
+    assert (want is None) == bool(inf)
+    if want is not None:
+        assert (x3, y3) == want
+
+
+def test_gate_witness_rejects_bad(gate_world):
+    rng, circuit, w, public, *_ = gate_world
+    bad = [col[:] for col in w]
+    bad[4][2] = (bad[4][2] + 1) % FS.p  # corrupt a poseidon intermediate
+    with pytest.raises(AssertionError):
+        circuit.check_witness(bad, public)
+
+
+def test_gate_prove_host_verify(gate_world):
+    rng, circuit, w, public, *_ = gate_world
+    g, h = srs_points_host("pallas", circuit.n)
+    index = prover_host.setup(circuit, PALLAS, g, h)
+    proof = prover_host.prove(index, circuit, w, public, g, h, rng)
+    assert prover_host.host_verify(index, proof, g, h)
+    import dataclasses
+
+    bad = dataclasses.replace(proof, public=[(public[0] + 1) % FS.p])
+    assert not prover_host.host_verify(index, bad, g, h)
+
+
+def test_gate_device_verify(gate_world):
+    rng, circuit, w, public, *_ = gate_world
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mina_bridge_tpu.fields.params import NLIMBS, int_to_limbs
+    from mina_bridge_tpu.kimchi import verifier
+
+    g, h = srs_points_host("pallas", circuit.n)
+    index = prover_host.setup(circuit, PALLAS, g, h)
+    proofs = [
+        prover_host.prove(index, circuit, w, public, g, h, rng)
+        for _ in range(2)
+    ]
+    dindex = verifier.DeviceVerifierIndex.from_host(index, g, h)
+    dproofs = verifier.DeviceProofs.from_host(proofs)
+    rw = jnp.asarray(
+        np.array(
+            [
+                [
+                    int_to_limbs(rng.randrange(FS.p), NLIMBS),
+                    int_to_limbs(rng.randrange(FS.p), NLIMBS),
+                ]
+                for _ in range(2)
+            ],
+            np.int32,
+        )
+    )
+    assert bool(verifier.verify(dindex, dproofs, rw))
+    import dataclasses
+
+    bad = dataclasses.replace(dproofs, evals=dproofs.evals.at[0, 3, 0, 0].add(1))
+    assert not bool(verifier.verify(dindex, bad, rw))
