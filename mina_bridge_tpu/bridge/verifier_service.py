@@ -199,3 +199,102 @@ def verify_accounts_batch(
         if results[i].ok and r != pub.ledger_hash:
             results[i] = StateVerificationResult(False, "merkle root != ledger hash")
     return results
+
+
+def verify_states_batch(
+    pubs: list[pm.MinaStatePubInputs],
+    proofs: list[pm.MinaStateProof],
+    block_index: "kv.DeviceVerifierIndex",
+    tip_proofs_device: "kv.DeviceProofs",
+    rand_weights,
+) -> list[StateVerificationResult]:
+    """Verify many Proof-of-States at once: all 17*B protocol-state hashes
+    run as one device Poseidon batch and all B tip proofs verify in one
+    batched kimchi call / single MSM (BASELINE config 5's batch axis; the
+    proof-batch dimension is what shards across hosts, SURVEY §2c)."""
+    B = len(pubs)
+    n = pm.BRIDGE_TRANSITION_FRONTIER_LEN
+    results = [StateVerificationResult(True) for _ in range(B)]
+    decoded = []
+    for b, proof in enumerate(proofs):
+        if len(proof.candidate_chain_states) != n:
+            results[b] = StateVerificationResult(False, "wrong chain length")
+            decoded.append(None)
+            continue
+        decoded.append(
+            (
+                [mt.PROTOCOL_STATE.decode(s) for s in proof.candidate_chain_states],
+                mt.PROTOCOL_STATE.decode(proof.bridge_tip_state),
+            )
+        )
+
+    # batched hashing over every state of every proof
+    all_fields, owners = [], []
+    for b, dec in enumerate(decoded):
+        if dec is None:
+            continue
+        states, tip = dec
+        for s in states + [tip]:
+            all_fields.append(pm.state_body_fields(s))
+            owners.append(b)
+    if all_fields:
+        bf = jnp.asarray(
+            np.stack(
+                [np.stack([int_to_limbs(v, NLIMBS) for v in f]) for f in all_fields]
+            )
+        )
+        body_hashes = device_hash_with_prefix(PREFIX_PROTO_STATE_BODY, bf)
+        prevs = _to_limbs_arr(
+            [
+                s["previous_state_hash"]
+                for dec in decoded
+                if dec is not None
+                for s in dec[0] + [dec[1]]
+            ]
+        )
+        hashes_dev = device_state_hashes(prevs, body_hashes)
+        hashes = [limbs_to_int(np.asarray(h)) for h in hashes_dev]
+
+    # per-proof host checks (pub inputs, linkage, consensus)
+    cursor = 0
+    for b, dec in enumerate(decoded):
+        if dec is None:
+            continue
+        states, tip = dec
+        cand = hashes[cursor : cursor + n]
+        tip_hash = hashes[cursor + n]
+        cursor += n + 1
+        pub = pubs[b]
+        if cand != pub.candidate_chain_state_hashes:
+            results[b] = StateVerificationResult(False, "state hash mismatch")
+        elif [
+            s["body"]["blockchain_state"]["snarked_ledger_hash"] for s in states
+        ] != pub.candidate_chain_ledger_hashes:
+            results[b] = StateVerificationResult(False, "ledger hash mismatch")
+        elif tip_hash != pub.bridge_tip_state_hash:
+            results[b] = StateVerificationResult(False, "bridge tip hash mismatch")
+        elif any(
+            states[i + 1]["previous_state_hash"] != cand[i] for i in range(n - 1)
+        ):
+            results[b] = StateVerificationResult(False, "chain broken")
+        elif not candidate_wins(
+            pm.consensus_from_state(tip, tip_hash),
+            pm.consensus_from_state(states[-1], cand[-1]),
+        ):
+            results[b] = StateVerificationResult(False, "consensus: not better")
+        else:
+            claimed = limbs_to_int(np.asarray(tip_proofs_device.public)[b, 0])
+            if claimed != cand[-1]:
+                results[b] = StateVerificationResult(
+                    False, "tip proof binds wrong hash"
+                )
+
+    # one batched tip verification (single MSM for the whole batch)
+    if all(r.ok for r in results):
+        tp, rw = _pad_batch(tip_proofs_device, rand_weights)
+        if not bool(kv.verify(block_index, tp, rw)):
+            return [
+                StateVerificationResult(False, "tip proof batch invalid")
+                for _ in range(B)
+            ]
+    return results
