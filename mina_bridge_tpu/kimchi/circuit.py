@@ -43,10 +43,14 @@ def shifts(field: FieldSpec, log_size: int) -> tuple[int, ...]:
 
 @dataclasses.dataclass
 class Circuit:
-    """Fixed circuit: per-row gate kind + coefficients + wiring.
+    """Fixed circuit: per-row gate kind + coefficients + wiring + lookups.
 
     wiring[(col, row)] = (col', row') — the permutation sends each cell of
     the first PERMUTS columns to the next cell in its copy-cycle.
+
+    Lookups (plookup-style, always structurally present): rows with
+    q_lookup=1 constrain w0 to be a member of `lookup_table` (sorted
+    ascending; entry 0 doubles as the non-lookup dummy).
     """
 
     domain: Domain
@@ -54,6 +58,8 @@ class Circuit:
     coeffs: list[list[int]]  # [COEFFS][n]
     sel: dict[str, list[int]]  # gate name -> 0/1 per row
     wiring: dict
+    lookup_table: list[int] = dataclasses.field(default_factory=lambda: [0])
+    q_lookup: list[int] = dataclasses.field(default_factory=list)
 
     @property
     def n(self) -> int:
@@ -76,6 +82,16 @@ class Circuit:
 
     def coeff_coeffs(self) -> list[list[int]]:
         return [ifft(self.domain, col) for col in self.coeffs]
+
+    def table_evals(self) -> list[int]:
+        """Lookup table padded to n by repeating the last entry."""
+        t = sorted(self.lookup_table)
+        assert len(t) <= self.n
+        return t + [t[-1]] * (self.n - len(t))
+
+    def q_lookup_evals(self) -> list[int]:
+        q = list(self.q_lookup) or [0] * self.n
+        return q + [0] * (self.n - len(q))
 
     def sel_coeffs(self) -> dict[str, list[int]]:
         return {k: ifft(self.domain, v) for k, v in self.sel.items()}
@@ -104,6 +120,10 @@ class Circuit:
                     assert e == 0, f"complete_add constraint {j} failed row {i}"
         for (c, r), (c2, r2) in self.wiring.items():
             assert w[c][r] == w[c2][r2], f"copy constraint failed {(c, r)}"
+        table = set(self.lookup_table)
+        for i, q in enumerate(self.q_lookup_evals()):
+            if q:
+                assert w[0][i] in table, f"lookup failed at row {i}"
 
 
 class CircuitBuilder:
@@ -118,6 +138,19 @@ class CircuitBuilder:
         self.rows: list = []
         self.cycles: list[list[tuple[int, int]]] = []
         self.npub = 0
+        self.lookup_table: list[int] = [0]
+        self.lookup_rows: list[int] = []
+
+    def set_lookup_table(self, table: list[int]) -> None:
+        assert 0 in table, "table entry 0 is the non-lookup dummy"
+        self.lookup_table = sorted(set(table))
+
+    def lookup_row(self) -> tuple[int, int]:
+        """A constraint-free row whose w0 must be in the lookup table."""
+        row = len(self.rows)
+        self.rows.append((0, 0, 0, 0, 0))
+        self.lookup_rows.append(row)
+        return (0, row)
 
     # --- generic helpers (compatible with the round-1 API) ---
     def public_input(self) -> tuple[int, int]:
@@ -210,10 +243,16 @@ class CircuitBuilder:
         for cyc in self.cycles:
             for i, cell in enumerate(cyc):
                 wiring[cell] = cyc[(i + 1) % len(cyc)]
+        q_lookup = [0] * n
+        for r in self.lookup_rows:
+            assert r < n - 1, "last row is excluded from lookups"
+            q_lookup[r] = 1
         return Circuit(
             domain=self.domain,
             npub=self.npub,
             coeffs=coeffs,
             sel=sel,
             wiring=wiring,
+            lookup_table=self.lookup_table,
+            q_lookup=q_lookup,
         )

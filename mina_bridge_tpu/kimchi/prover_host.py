@@ -35,9 +35,16 @@ from .circuit import COEFFS, COLUMNS, PERMUTS, Circuit, shifts
 from .domain import Domain, coset_fft, coset_ifft, fft, ifft, poly_eval
 
 T_CHUNKS = 7
-# opening order: w15, z, sigma7, coeffs15, sel(gen,pos,add), t7
-N_OPENED = COLUMNS + 1 + PERMUTS + COEFFS + len(G.GATE_ORDER) + T_CHUNKS  # 48
-ALPHA_PERM = G.N_GATE_CONSTRAINTS  # alpha powers: gates 0..22, perm 23, 24
+N_LOOKUP_OPENED = 5  # h1, h2, z_lookup, table, q_lookup
+# opening order: w15, z, sigma7, coeffs15, sel(gen,pos,add),
+#                h1, h2, z_lookup, table, q_lookup, t7
+N_OPENED = (
+    COLUMNS + 1 + PERMUTS + COEFFS + len(G.GATE_ORDER) + N_LOOKUP_OPENED + T_CHUNKS
+)  # 53
+# alpha powers: gates 0..22, perm 23..24, lookup 25..28
+ALPHA_PERM = G.N_GATE_CONSTRAINTS
+ALPHA_LOOKUP = ALPHA_PERM + 2
+N_ALPHAS = ALPHA_LOOKUP + 4
 
 
 @dataclasses.dataclass
@@ -48,10 +55,15 @@ class VerifierIndexHost:
     sigma_comm: list  # 7 affine points
     coeff_comm: list  # 15 affine points
     sel_comm: dict  # gate name -> affine point
+    table_comm: object  # lookup table commitment
+    qlk_comm: object  # lookup selector commitment
     shifts: tuple[int, ...]
     sigma_coeffs: list
     coeff_coeffs: list
     sel_coeffs: dict
+    table_coeffs: list
+    qlk_coeffs: list
+    table_dummy: int
 
     def digest(self) -> int:
         """Poseidon hash of all index commitments (binds the circuit)."""
@@ -60,6 +72,7 @@ class VerifierIndexHost:
             self.sigma_comm
             + self.coeff_comm
             + [self.sel_comm[g] for g in G.GATE_ORDER]
+            + [self.table_comm, self.qlk_comm]
         )
         for pt in pts:
             sponge.absorb(pt[0] if pt else 0)
@@ -73,6 +86,9 @@ class VerifierIndexHost:
 class HostProof:
     w_comm: list  # 15 affine
     z_comm: tuple
+    h1_comm: tuple  # lookup sorted halves
+    h2_comm: tuple
+    zl_comm: tuple  # lookup aggregation
     t_comm: list  # 7 affine
     evals: list  # N_OPENED x 2 scalar ints, OPEN_ORDER
     opening: ipa.HostOpeningProof
@@ -86,6 +102,9 @@ def setup(circuit: Circuit, curve: CurveSpec, g: list, h) -> VerifierIndexHost:
     sigma_coeffs = [ifft(circuit.domain, s) for s in circuit.sigma_evals()]
     coeff_coeffs = circuit.coeff_coeffs()
     sel_coeffs = circuit.sel_coeffs()
+    table_evals = circuit.table_evals()
+    table_coeffs = ifft(circuit.domain, table_evals)
+    qlk_coeffs = ifft(circuit.domain, circuit.q_lookup_evals())
     return VerifierIndexHost(
         curve=curve,
         domain=circuit.domain,
@@ -95,10 +114,15 @@ def setup(circuit: Circuit, curve: CurveSpec, g: list, h) -> VerifierIndexHost:
         sel_comm={
             k: ipa.host_commit(curve, g, h, c, 0) for k, c in sel_coeffs.items()
         },
+        table_comm=ipa.host_commit(curve, g, h, table_coeffs, 0),
+        qlk_comm=ipa.host_commit(curve, g, h, qlk_coeffs, 0),
         shifts=shifts(circuit.domain.field, circuit.domain.log_size),
         sigma_coeffs=sigma_coeffs,
         coeff_coeffs=coeff_coeffs,
         sel_coeffs=sel_coeffs,
+        table_coeffs=table_coeffs,
+        qlk_coeffs=qlk_coeffs,
+        table_dummy=table_evals[0],
     )
 
 
@@ -114,25 +138,31 @@ def _absorb_point(sponge: HostSponge, pt) -> None:
     sponge.absorb(pt[1] if pt else 0)
 
 
-def opened_polys(index: VerifierIndexHost, w_coeffs, z_coeffs, t_chunks):
+def opened_polys(
+    index: VerifierIndexHost, w_coeffs, z_coeffs, lookup_coeffs, t_chunks
+):
     """Coefficient vectors in OPEN_ORDER."""
+    h1_c, h2_c, zl_c = lookup_coeffs
     return (
         list(w_coeffs)
         + [z_coeffs]
         + list(index.sigma_coeffs)
         + list(index.coeff_coeffs)
         + [index.sel_coeffs[g] for g in G.GATE_ORDER]
+        + [h1_c, h2_c, zl_c, index.table_coeffs, index.qlk_coeffs]
         + list(t_chunks)
     )
 
 
-def opened_comms(index: VerifierIndexHost, w_comm, z_comm, t_comm):
+def opened_comms(index: VerifierIndexHost, w_comm, z_comm, lookup_comms, t_comm):
+    h1, h2, zl = lookup_comms
     return (
         list(w_comm)
         + [z_comm]
         + list(index.sigma_comm)
         + list(index.coeff_comm)
         + [index.sel_comm[g] for g in G.GATE_ORDER]
+        + [h1, h2, zl, index.table_comm, index.qlk_comm]
         + list(t_comm)
     )
 
@@ -169,6 +199,27 @@ def prove(
         _absorb_scalar(sponge, curve, x)
     for pt in w_comm:
         _absorb_point(sponge, pt)
+
+    # 1b. lookup: f values, sorted halves h1/h2, commitments
+    table = circuit.table_evals()
+    qlk = circuit.q_lookup_evals()
+    dummy = index.table_dummy
+    f_vals = [
+        (qlk[i] * witness[0][i] + (1 - qlk[i]) * dummy) % ps for i in range(n)
+    ]
+    table_set = sorted(circuit.lookup_table)
+    s_sorted = sorted(f_vals[: n - 1] + table)
+    h1_vals, h2_vals = s_sorted[:n], s_sorted[n - 1 :]
+    assert len(h2_vals) == n and h1_vals[-1] == h2_vals[0]
+    h1_coeffs, h2_coeffs = ifft(dom, h1_vals), ifft(dom, h2_vals)
+    h1_blind, h2_blind = rng.randrange(ps), rng.randrange(ps)
+    h1_comm = ipa.host_commit(curve, g, h, h1_coeffs, h1_blind)
+    h2_comm = ipa.host_commit(curve, g, h, h2_coeffs, h2_blind)
+    _absorb_point(sponge, h1_comm)
+    _absorb_point(sponge, h2_comm)
+    beta_l = ipa.host_squeeze_128(sponge)
+    gamma_l = ipa.host_squeeze_128(sponge)
+
     beta = ipa.host_squeeze_128(sponge)
     gamma = ipa.host_squeeze_128(sponge)
 
@@ -194,9 +245,33 @@ def prove(
     z_coeffs = ifft(dom, z)
     z_blind = rng.randrange(ps)
     z_comm = ipa.host_commit(curve, g, h, z_coeffs, z_blind)
+
+    # 2b. lookup aggregation Z_L (plookup recurrence over rows 0..n-2)
+    gpb = gamma_l * (1 + beta_l) % ps
+    zl = [1]
+    for i in range(n - 1):
+        num = (
+            (1 + beta_l)
+            * (gamma_l + f_vals[i])
+            % ps
+            * (gpb + table[i] + beta_l * table[(i + 1) % n])
+            % ps
+        )
+        den = (
+            (gpb + h1_vals[i] + beta_l * h1_vals[(i + 1) % n])
+            * (gpb + h2_vals[i] + beta_l * h2_vals[(i + 1) % n])
+            % ps
+        )
+        zl.append(zl[-1] * num % ps * pow(den, ps - 2, ps) % ps)
+    assert zl[-1] == 1, "plookup aggregation does not close"
+    zl_coeffs = ifft(dom, zl)
+    zl_blind = rng.randrange(ps)
+    zl_comm = ipa.host_commit(curve, g, h, zl_coeffs, zl_blind)
+
     _absorb_point(sponge, z_comm)
+    _absorb_point(sponge, zl_comm)
     alpha = ipa.host_squeeze_128(sponge)
-    alpha_pows = [pow(alpha, k, ps) for k in range(ALPHA_PERM + 2)]
+    alpha_pows = [pow(alpha, k, ps) for k in range(N_ALPHAS)]
 
     # 3. quotient t on a coset of the 8n domain
     dom8 = Domain(dom.field, dom.log_size + 3)
@@ -217,6 +292,18 @@ def prove(
     sel_ext = {k: ext(c) for k, c in index.sel_coeffs.items()}
     z_ext = ext(z_coeffs)
     zw_ext = ext([c * pow(dom.omega, i, ps) % ps for i, c in enumerate(z_coeffs)])
+
+    def ext_shift(coeffs):
+        return ext([c * pow(dom.omega, i, ps) % ps for i, c in enumerate(coeffs)])
+
+    h1_ext, h1w_ext = ext(h1_coeffs), ext_shift(h1_coeffs)
+    h2_ext, h2w_ext = ext(h2_coeffs), ext_shift(h2_coeffs)
+    zl_ext, zlw_ext = ext(zl_coeffs), ext_shift(zl_coeffs)
+    tbl_coeffs, qlk_coeffs = index.table_coeffs, index.qlk_coeffs
+    tbl_ext, tblw_ext = ext(tbl_coeffs), ext_shift(tbl_coeffs)
+    qlk_ext = ext(qlk_coeffs)
+    lnm1_ext = ext(ifft(dom, [0] * (n - 1) + [1]))
+    omega_last = pow(dom.omega, n - 1, ps)
     pub_coeffs = ifft(
         dom, [public[i] if i < len(public) else 0 for i in range(n)]
     )
@@ -246,8 +333,32 @@ def prove(
             den = den * (w_ext[j][i] + beta * sig_ext[j][i] + gamma) % ps
         p2 = (z_ext[i] * num - zw_ext[i] * den) % ps
         p1 = l0_ext[i] * (z_ext[i] - 1) % ps
+        # lookup constraints
+        f_i = (qlk_ext[i] * w_ext[0][i] + (1 - qlk_ext[i]) * dummy) % ps
+        A = (
+            (gpb + h1_ext[i] + beta_l * h1w_ext[i])
+            * (gpb + h2_ext[i] + beta_l * h2w_ext[i])
+            % ps
+        )
+        Bv = (
+            (1 + beta_l)
+            * (gamma_l + f_i)
+            % ps
+            * (gpb + tbl_ext[i] + beta_l * tblw_ext[i])
+            % ps
+        )
+        lk_rec = (xi - omega_last) * (zlw_ext[i] * A - zl_ext[i] * Bv) % ps
+        lk_0 = l0_ext[i] * (zl_ext[i] - 1) % ps
+        lk_last = lnm1_ext[i] * (zl_ext[i] - 1) % ps
+        lk_overlap = lnm1_ext[i] * (h1_ext[i] - h2w_ext[i]) % ps
         combined = (
-            gate + alpha_pows[ALPHA_PERM] * p2 + alpha_pows[ALPHA_PERM + 1] * p1
+            gate
+            + alpha_pows[ALPHA_PERM] * p2
+            + alpha_pows[ALPHA_PERM + 1] * p1
+            + alpha_pows[ALPHA_LOOKUP] * lk_rec
+            + alpha_pows[ALPHA_LOOKUP + 1] * lk_0
+            + alpha_pows[ALPHA_LOOKUP + 2] * lk_last
+            + alpha_pows[ALPHA_LOOKUP + 3] * lk_overlap
         ) % ps
         zh = (pow(xi, n, ps) - 1) % ps
         t_evals.append(combined * pow(zh, ps - 2, ps) % ps)
@@ -264,14 +375,17 @@ def prove(
     zeta_w = zeta * dom.omega % ps
 
     # 4. evaluations in OPEN_ORDER
-    polys = opened_polys(index, w_coeffs, z_coeffs, t_chunks)
+    polys = opened_polys(
+        index, w_coeffs, z_coeffs, (h1_coeffs, h2_coeffs, zl_coeffs), t_chunks
+    )
     blinds = (
         w_blinds
         + [z_blind]
         + [0] * (PERMUTS + COEFFS + len(G.GATE_ORDER))
+        + [h1_blind, h2_blind, zl_blind, 0, 0]
         + t_blinds
     )
-    comms = opened_comms(index, w_comm, z_comm, t_comm)
+    comms = opened_comms(index, w_comm, z_comm, (h1_comm, h2_comm, zl_comm), t_comm)
     evals = [[poly_eval(c, zeta, ps), poly_eval(c, zeta_w, ps)] for c in polys]
     for e0, e1 in evals:
         _absorb_scalar(sponge, curve, e0)
@@ -286,6 +400,9 @@ def prove(
     return HostProof(
         w_comm=w_comm,
         z_comm=z_comm,
+        h1_comm=h1_comm,
+        h2_comm=h2_comm,
+        zl_comm=zl_comm,
         t_comm=t_comm,
         evals=evals,
         opening=opening,
@@ -309,11 +426,16 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
         _absorb_scalar(sponge, curve, x)
     for pt in proof.w_comm:
         _absorb_point(sponge, pt)
+    _absorb_point(sponge, proof.h1_comm)
+    _absorb_point(sponge, proof.h2_comm)
+    beta_l = ipa.host_squeeze_128(sponge)
+    gamma_l = ipa.host_squeeze_128(sponge)
     beta = ipa.host_squeeze_128(sponge)
     gamma = ipa.host_squeeze_128(sponge)
     _absorb_point(sponge, proof.z_comm)
+    _absorb_point(sponge, proof.zl_comm)
     alpha = ipa.host_squeeze_128(sponge)
-    alpha_pows = [pow(alpha, k, ps) for k in range(ALPHA_PERM + 2)]
+    alpha_pows = [pow(alpha, k, ps) for k in range(N_ALPHAS)]
     for pt in proof.t_comm:
         _absorb_point(sponge, pt)
     zeta = ipa.host_squeeze_128(sponge)
@@ -337,6 +459,12 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     off += COEFFS
     sel_z = {g_: ev[off + i][0] for i, g_ in enumerate(G.GATE_ORDER)}
     off += len(G.GATE_ORDER)
+    h1_z, h1_zw = ev[off]
+    h2_z, h2_zw = ev[off + 1]
+    zl_z, zl_zw = ev[off + 2]
+    tbl_z, tbl_zw = ev[off + 3]
+    qlk_z = ev[off + 4][0]
+    off += N_LOOKUP_OPENED
     t_z = [ev[off + i][0] for i in range(T_CHUNKS)]
 
     zh = dom.vanishing_eval(zeta)
@@ -356,17 +484,47 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     p2 = (z_z * num - z_zw * den) % ps
     l0 = dom.lagrange_eval(0, zeta)
     p1 = l0 * (z_z - 1) % ps
+    # lookup constraints at zeta
+    gpb = gamma_l * (1 + beta_l) % ps
+    f_z = (qlk_z * w_z[0] + (1 - qlk_z) * index.table_dummy) % ps
+    A = (gpb + h1_z + beta_l * h1_zw) * (gpb + h2_z + beta_l * h2_zw) % ps
+    Bv = (
+        (1 + beta_l)
+        * (gamma_l + f_z)
+        % ps
+        * (gpb + tbl_z + beta_l * tbl_zw)
+        % ps
+    )
+    omega_last = pow(dom.omega, n - 1, ps)
+    lnm1 = dom.lagrange_eval(n - 1, zeta)
+    lk_rec = (zeta - omega_last) * (zl_zw * A - zl_z * Bv) % ps
+    lk_0 = l0 * (zl_z - 1) % ps
+    lk_last = lnm1 * (zl_z - 1) % ps
+    lk_overlap = lnm1 * (h1_z - h2_zw) % ps
+
     t_at = 0
     zn = pow(zeta, n, ps)
     for i in reversed(range(T_CHUNKS)):
         t_at = (t_at * zn + t_z[i]) % ps
     lhs = (
-        gate + alpha_pows[ALPHA_PERM] * p2 + alpha_pows[ALPHA_PERM + 1] * p1
+        gate
+        + alpha_pows[ALPHA_PERM] * p2
+        + alpha_pows[ALPHA_PERM + 1] * p1
+        + alpha_pows[ALPHA_LOOKUP] * lk_rec
+        + alpha_pows[ALPHA_LOOKUP + 1] * lk_0
+        + alpha_pows[ALPHA_LOOKUP + 2] * lk_last
+        + alpha_pows[ALPHA_LOOKUP + 3] * lk_overlap
     ) % ps
     if (lhs - zh * t_at) % ps != 0:
         return False
 
-    comms = opened_comms(index, proof.w_comm, proof.z_comm, proof.t_comm)
+    comms = opened_comms(
+        index,
+        proof.w_comm,
+        proof.z_comm,
+        (proof.h1_comm, proof.h2_comm, proof.zl_comm),
+        proof.t_comm,
+    )
     return ipa.host_verify(
         index.curve,
         g,

@@ -33,7 +33,16 @@ from ..hash import poseidon
 from ..hash.poseidon_params import poseidon_spec
 from . import gates as G
 from .circuit import COEFFS, COLUMNS, PERMUTS
-from .prover_host import ALPHA_PERM, N_OPENED, T_CHUNKS, HostProof, VerifierIndexHost
+from .prover_host import (
+    ALPHA_LOOKUP,
+    ALPHA_PERM,
+    N_ALPHAS,
+    N_LOOKUP_OPENED,
+    N_OPENED,
+    T_CHUNKS,
+    HostProof,
+    VerifierIndexHost,
+)
 
 
 @dataclasses.dataclass(eq=False)  # identity hash: usable as a jit static arg
@@ -47,11 +56,12 @@ class DeviceVerifierIndex:
     omega: int
     shifts: tuple[int, ...]
     digest: int
-    # (25, 2, NLIMBS): sigma[7] + coeffs[15] + sel[generic,poseidon,add]
+    # (27, 2, NLIMBS): sigma[7] + coeffs[15] + sel[3] + table + q_lookup
     index_comms: np.ndarray
     g_affine: np.ndarray  # (n, 2, NLIMBS)
     h_affine: np.ndarray  # (2, NLIMBS)
     field_name: str = "fq"
+    table_dummy: int = 0
 
     @classmethod
     def from_host(cls, index: VerifierIndexHost, g, h) -> "DeviceVerifierIndex":
@@ -63,6 +73,7 @@ class DeviceVerifierIndex:
         comms = [aff(p) for p in index.sigma_comm]
         comms += [aff(p) for p in index.coeff_comm]
         comms += [aff(index.sel_comm[g_]) for g_ in G.GATE_ORDER]
+        comms += [aff(index.table_comm), aff(index.qlk_comm)]
         n = index.domain.n
         return cls(
             curve=index.curve,
@@ -76,14 +87,15 @@ class DeviceVerifierIndex:
             g_affine=np.stack([aff(p) for p in g[:n]]),
             h_affine=aff(h),
             field_name=index.domain.field.name,
+            table_dummy=index.table_dummy,
         )
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "public", "w_comm", "z_comm", "t_comm", "evals",
-        "lr", "delta", "sg", "z1", "z2",
+        "public", "w_comm", "z_comm", "h1_comm", "h2_comm", "zl_comm",
+        "t_comm", "evals", "lr", "delta", "sg", "z1", "z2",
     ],
     meta_fields=[],
 )
@@ -94,6 +106,9 @@ class DeviceProofs:
     public: jax.Array  # (B, npub, NLIMBS)
     w_comm: jax.Array  # (B, 15, 2, NLIMBS)
     z_comm: jax.Array  # (B, 2, NLIMBS)
+    h1_comm: jax.Array  # (B, 2, NLIMBS)
+    h2_comm: jax.Array  # (B, 2, NLIMBS)
+    zl_comm: jax.Array  # (B, 2, NLIMBS)
     t_comm: jax.Array  # (B, 7, 2, NLIMBS)
     evals: jax.Array  # (B, 35, 2, NLIMBS)
     lr: jax.Array  # (B, k, 2, 2, NLIMBS)
@@ -120,6 +135,9 @@ class DeviceProofs:
                 np.stack([np.stack([aff(c) for c in p.w_comm]) for p in proofs])
             ),
             z_comm=jnp.asarray(np.stack([aff(p.z_comm) for p in proofs])),
+            h1_comm=jnp.asarray(np.stack([aff(p.h1_comm) for p in proofs])),
+            h2_comm=jnp.asarray(np.stack([aff(p.h2_comm) for p in proofs])),
+            zl_comm=jnp.asarray(np.stack([aff(p.zl_comm) for p in proofs])),
             t_comm=jnp.asarray(
                 np.stack([np.stack([aff(c) for c in p.t_comm]) for p in proofs])
             ),
@@ -178,8 +196,16 @@ def verify(
             ("absorb", proofs.w_comm[:, i, 0]),
             ("absorb", proofs.w_comm[:, i, 1]),
         ]
+    ops += [
+        ("absorb", proofs.h1_comm[:, 0]),
+        ("absorb", proofs.h1_comm[:, 1]),
+        ("absorb", proofs.h2_comm[:, 0]),
+        ("absorb", proofs.h2_comm[:, 1]),
+    ]
+    ops += [("squeeze",), ("squeeze",)]  # beta_l, gamma_l (lookup)
     ops += [("squeeze",), ("squeeze",)]  # beta, gamma
     ops += [("absorb", proofs.z_comm[:, 0]), ("absorb", proofs.z_comm[:, 1])]
+    ops += [("absorb", proofs.zl_comm[:, 0]), ("absorb", proofs.zl_comm[:, 1])]
     ops += [("squeeze",)]  # alpha
     for i in range(T_CHUNKS):
         ops += [
@@ -193,7 +219,9 @@ def verify(
             ops += [("absorb", lo), ("absorb", hi)]
     ops += [("squeeze",), ("squeeze",)]  # v, u
     sq, sponge = poseidon.run_transcript(ps_sponge, ops, batch_shape=(B,))
-    beta, gamma, alpha, zeta, v, u = [ffl.from_canon(x & mask128) for x in sq]
+    beta_l, gamma_l, beta, gamma, alpha, zeta, v, u = [
+        ffl.from_canon(x & mask128) for x in sq
+    ]
 
     # ---- scalar identity at zeta ----
     ev = ffl.from_canon(proofs.evals)  # (B, 48, 2, L)
@@ -211,6 +239,12 @@ def verify(
     off += COEFFS
     sel_z = {g_: ev[:, off + i, 0] for i, g_ in enumerate(G.GATE_ORDER)}
     off += len(G.GATE_ORDER)
+    h1_z, h1_zw = ev[:, off, 0], ev[:, off, 1]
+    h2_z, h2_zw = ev[:, off + 1, 0], ev[:, off + 1, 1]
+    zl_z, zl_zw = ev[:, off + 2, 0], ev[:, off + 2, 1]
+    tbl_z, tbl_zw = ev[:, off + 3, 0], ev[:, off + 3, 1]
+    qlk_z = ev[:, off + 4, 0]
+    off += N_LOOKUP_OPENED
     t_z = [ev[:, off + i, 0] for i in range(T_CHUNKS)]
 
     mul = lambda a, b: ffl.mul(fs, a, b)
@@ -252,7 +286,7 @@ def verify(
             jnp.int32
         ),
     )
-    alpha_pows = ipa._powers(fs, alpha, ALPHA_PERM + 2)
+    alpha_pows = ipa._powers(fs, alpha, N_ALPHAS)
     row = G.RowView(w=w_z, w_next=w_zw, c=coeff_z)
     gate = G.all_gate_constraints(
         dev_ops, row, sel_z, pub_eval, _pspec(index.field_name), alpha_pows
@@ -285,6 +319,37 @@ def verify(
     l0 = mul(mul(ffl.inv(fs, sub(zeta, one)), zh), n_inv[None])
     p1 = mul(l0, sub(z_z, one))
 
+    # lookup constraints at zeta
+    one_pl = add(one, beta_l)  # 1 + beta_l
+    gpb = mul(gamma_l, one_pl)
+    f_z = add(
+        mul(qlk_z, w_z[0]),
+        mul(
+            sub(one, qlk_z),
+            jnp.broadcast_to(_const(fs, index.table_dummy), zeta.shape).astype(
+                jnp.int32
+            ),
+        ),
+    )
+    A_lk = mul(
+        add(gpb, add(h1_z, mul(beta_l, h1_zw))),
+        add(gpb, add(h2_z, mul(beta_l, h2_zw))),
+    )
+    B_lk = mul(
+        mul(one_pl, add(gamma_l, f_z)),
+        add(gpb, add(tbl_z, mul(beta_l, tbl_zw))),
+    )
+    omega_last = _const(fs, pow(index.omega, index.n - 1, fs.p))[None]
+    # L_{n-1}(zeta) = omega^{n-1} * zh / (n (zeta - omega^{n-1}))
+    zml = sub(zeta, jnp.broadcast_to(omega_last, zeta.shape).astype(jnp.int32))
+    lnm1 = mul(
+        mul(mul(ffl.inv(fs, zml), zh), omega_last), n_inv[None]
+    )
+    lk_rec = mul(zml, sub(mul(zl_zw, A_lk), mul(zl_z, B_lk)))
+    lk_0 = mul(l0, sub(zl_z, one))
+    lk_last = mul(lnm1, sub(zl_z, one))
+    lk_overlap = mul(lnm1, sub(h1_z, h2_zw))
+
     t_at = ffl.zeros(fs, (B,))
     for i in reversed(range(T_CHUNKS)):
         t_at = add(mul(t_at, zn), t_z[i])
@@ -294,6 +359,19 @@ def verify(
         add(
             mul(alpha_pows[ALPHA_PERM], p2),
             mul(alpha_pows[ALPHA_PERM + 1], p1),
+        ),
+    )
+    lhs = add(
+        lhs,
+        add(
+            add(
+                mul(alpha_pows[ALPHA_LOOKUP], lk_rec),
+                mul(alpha_pows[ALPHA_LOOKUP + 1], lk_0),
+            ),
+            add(
+                mul(alpha_pows[ALPHA_LOOKUP + 2], lk_last),
+                mul(alpha_pows[ALPHA_LOOKUP + 3], lk_overlap),
+            ),
         ),
     )
     eq_ok = ffl.is_zero(fs, sub(lhs, mul(zh, t_at)))  # (B,)
@@ -307,15 +385,21 @@ def verify(
     idx_comms = jnp.broadcast_to(
         jnp.asarray(index.index_comms)[None], (B, n_idx, 2, NLIMBS)
     )
+    # order must match prover_host.opened_comms: w, z, sigma+coeff+sel
+    # (index), h1, h2, zl, table+qlk (index), t
     commitments = jnp.concatenate(
         [
             proofs.w_comm,
             proofs.z_comm[:, None],
-            idx_comms,
+            idx_comms[:, :-2],
+            proofs.h1_comm[:, None],
+            proofs.h2_comm[:, None],
+            proofs.zl_comm[:, None],
+            idx_comms[:, -2:],
             proofs.t_comm,
         ],
         axis=1,
-    )  # (B, 35, 2, NLIMBS)
+    )  # (B, 53, 2, NLIMBS)
     openings = ipa.DeviceOpenings(
         commitments=commitments,
         evals=proofs.evals,

@@ -153,3 +153,45 @@ def test_gate_device_verify(gate_world):
 
     bad = dataclasses.replace(dproofs, evals=dproofs.evals.at[0, 3, 0, 0].add(1))
     assert not bool(verifier.verify(dindex, bad, rw))
+
+
+def test_lookup_circuit():
+    """Plookup: values constrained to a 16-entry range table."""
+    import random as _r
+
+    rng = _r.Random(0x100C)
+    b = CircuitBuilder(FS, 5)
+    pub = b.public_input()
+    b.set_lookup_table(list(range(16)))
+    c1 = b.lookup_row()
+    c2 = b.lookup_row()
+    # bind: pub = lookup1 + lookup2 via an add gate
+    a_a, a_b, a_c = b.add_gate()
+    b.connect([c1, a_a])
+    b.connect([c2, a_b])
+    b.connect([a_c, pub])
+    circuit = b.build()
+
+    n = circuit.n
+    w = [[0] * n for _ in range(COLUMNS)]
+    v1, v2 = 5, 9
+    w[0][c1[1]] = v1
+    w[0][c2[1]] = v2
+    w[0][a_a[1]], w[1][a_a[1]], w[2][a_a[1]] = v1, v2, v1 + v2
+    w[0][0] = v1 + v2
+    circuit.check_witness(w, [v1 + v2])
+
+    g, h = srs_points_host("pallas", circuit.n)
+    index = prover_host.setup(circuit, PALLAS, g, h)
+    proof = prover_host.prove(index, circuit, w, [v1 + v2], g, h, rng)
+    assert prover_host.host_verify(index, proof, g, h)
+
+    # out-of-table value: witness check rejects, and the plookup
+    # aggregation cannot close
+    bad = [col[:] for col in w]
+    bad[0][c1[1]] = 99
+    bad[0][a_a[1]] = 99
+    bad[2][a_a[1]] = 99 + v2
+    bad[0][0] = 99 + v2
+    with pytest.raises(AssertionError):
+        circuit.check_witness(bad, [99 + v2])
