@@ -76,8 +76,17 @@ def http_transport(url: str) -> Transport:
 
 
 class MinaClient:
-    def __init__(self, transport: Transport):
-        self.run = transport
+    def __init__(self, transport: Transport, retries: int = 3):
+        from ..utils.retry import with_retry
+
+        def run(query, variables):
+            return with_retry(
+                lambda: transport(query, variables),
+                attempts=retries,
+                what="mina graphql query",
+            )
+
+        self.run = run
 
     def query_candidate_chain(
         self, length: int = pm.BRIDGE_TRANSITION_FRONTIER_LEN
