@@ -17,7 +17,7 @@ FS = PALLAS.scalar
 
 def build_gate_circuit():
     """1 public input + 1 poseidon permutation + 1 complete_add row."""
-    b = CircuitBuilder(FS, 5)  # 32 rows
+    b = CircuitBuilder(FS, 4)  # 16 rows (canonical test domain)
     pub = b.public_input()
     pos_in, pos_out, pos_rows = b.poseidon_permutation()
     add_cells = b.complete_add()
@@ -160,7 +160,7 @@ def test_lookup_circuit():
     import random as _r
 
     rng = _r.Random(0x100C)
-    b = CircuitBuilder(FS, 5)
+    b = CircuitBuilder(FS, 4)
     pub = b.public_input()
     b.set_lookup_table(list(range(16)))
     c1 = b.lookup_row()
