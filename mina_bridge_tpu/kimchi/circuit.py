@@ -239,10 +239,36 @@ class CircuitBuilder:
                 and all(v == 0 for v in spec)
             ):
                 sel[G.GATE_GENERIC][i] = 0
-        wiring = {}
+        # merge copy constraints with union-find: a cell may appear in many
+        # connect() calls; sigma must be one rotation per equivalence class
+        parent: dict = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
         for cyc in self.cycles:
-            for i, cell in enumerate(cyc):
-                wiring[cell] = cyc[(i + 1) % len(cyc)]
+            for cell in cyc[1:]:
+                union(cyc[0], cell)
+        classes: dict = {}
+        seen = set()
+        for cyc in self.cycles:
+            for cell in cyc:
+                if cell not in seen:
+                    seen.add(cell)
+                    classes.setdefault(find(cell), []).append(cell)
+        wiring = {}
+        for members in classes.values():
+            members = sorted(members)
+            for i, cell in enumerate(members):
+                wiring[cell] = members[(i + 1) % len(members)]
         q_lookup = [0] * n
         for r in self.lookup_rows:
             assert r < n - 1, "last row is excluded from lookups"
