@@ -31,7 +31,13 @@ def load_bytecode(name: str) -> bytes:
     code = data.get("bytecode", {})
     if isinstance(code, dict):
         code = code.get("object", "")
-    return bytes.fromhex(code.removeprefix("0x"))
+    code = code.removeprefix("0x")
+    if not code:
+        raise FileNotFoundError(
+            f"{path} has no compiled bytecode — run `make gen_contract_abis` "
+            "(requires foundry) to populate it"
+        )
+    return bytes.fromhex(code)
 
 
 def deploy_bridge_contracts(env=None) -> dict:
