@@ -37,3 +37,17 @@ def test_msm_sharded_matches_host(rng):
     got = jc.to_affine_ints(c, out)[0]
     want = hc.msm(c, ks, pts)
     assert got == want
+
+
+def test_mesh_helpers():
+    import numpy as np
+
+    from mina_bridge_tpu.parallel import mesh as pm
+
+    m = pm.make_mesh()
+    assert m.devices.size == len(jax.devices())
+    m2 = pm.make_mesh(n_dp=2, n_pt=4)
+    assert m2.shape == {"dp": 2, "pt": 4}
+    x = jnp.zeros((2, 8))
+    y = pm.shard_proof_batch(x, m2)
+    assert y.shape == x.shape
