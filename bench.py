@@ -17,6 +17,10 @@ import time
 
 os.environ.setdefault("MINA_BRIDGE_TPU_CACHE", "/tmp/mina_bridge_tpu_cache")
 
+import sys
+
+sys.modules["zstandard"] = None  # see tests/conftest.py: zstd cache segfault
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/mina_bridge_tpu_jax_cache")

@@ -45,23 +45,44 @@ from .prover_host import (
 )
 
 
-@dataclasses.dataclass(eq=False)  # identity hash: usable as a jit static arg
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "index_comms",
+        "g_affine",
+        "h_affine",
+        "digest_limbs",
+        "omega_rep",
+        "omega_last_rep",
+        "n_inv_rep",
+        "omega_pows_rep",
+        "shifts_rep",
+        "dummy_rep",
+    ],
+    meta_fields=["curve", "n", "log_n", "npub", "field_name"],
+)
+@dataclasses.dataclass
 class DeviceVerifierIndex:
-    """Static (host-resident) index data + device constants."""
+    """Verifier index as a jit PYTREE argument: every per-circuit constant
+    is an array leaf, so all circuits with the same shape signature
+    (n, npub, field, curve) share ONE compiled verify executable."""
 
     curve: CurveSpec
     n: int
     log_n: int
     npub: int
-    omega: int
-    shifts: tuple[int, ...]
-    digest: int
+    field_name: str
     # (27, 2, NLIMBS): sigma[7] + coeffs[15] + sel[3] + table + q_lookup
     index_comms: np.ndarray
     g_affine: np.ndarray  # (n, 2, NLIMBS)
     h_affine: np.ndarray  # (2, NLIMBS)
-    field_name: str = "fq"
-    table_dummy: int = 0
+    digest_limbs: np.ndarray  # (NLIMBS,)
+    omega_rep: np.ndarray  # (REP_LIMBS,)
+    omega_last_rep: np.ndarray  # (REP_LIMBS,) = omega^(n-1)
+    n_inv_rep: np.ndarray  # (REP_LIMBS,)
+    omega_pows_rep: np.ndarray  # (npub, REP_LIMBS)
+    shifts_rep: np.ndarray  # (PERMUTS, 1, REP_LIMBS)
+    dummy_rep: np.ndarray  # (REP_LIMBS,) lookup dummy value
 
     @classmethod
     def from_host(cls, index: VerifierIndexHost, g, h) -> "DeviceVerifierIndex":
@@ -70,24 +91,34 @@ class DeviceVerifierIndex:
                 return np.zeros((2, NLIMBS), np.int32)
             return np.stack([int_to_limbs(pt[0], NLIMBS), int_to_limbs(pt[1], NLIMBS)])
 
+        def rep(v):
+            return int_to_limbs(v % index.curve.scalar.p, ffl.REP_LIMBS)
+
         comms = [aff(p) for p in index.sigma_comm]
         comms += [aff(p) for p in index.coeff_comm]
         comms += [aff(index.sel_comm[g_]) for g_ in G.GATE_ORDER]
         comms += [aff(index.table_comm), aff(index.qlk_comm)]
         n = index.domain.n
+        fs = index.curve.scalar
+        omega = index.domain.omega
         return cls(
             curve=index.curve,
             n=n,
             log_n=index.domain.log_size,
             npub=index.npub,
-            omega=index.domain.omega,
-            shifts=index.shifts,
-            digest=index.digest(),
+            field_name=index.domain.field.name,
             index_comms=np.stack(comms),
             g_affine=np.stack([aff(p) for p in g[:n]]),
             h_affine=aff(h),
-            field_name=index.domain.field.name,
-            table_dummy=index.table_dummy,
+            digest_limbs=int_to_limbs(index.digest(), NLIMBS),
+            omega_rep=rep(omega),
+            omega_last_rep=rep(pow(omega, n - 1, fs.p)),
+            n_inv_rep=rep(pow(n, fs.p - 2, fs.p)),
+            omega_pows_rep=np.stack(
+                [rep(pow(omega, i, fs.p)) for i in range(max(index.npub, 1))]
+            ),
+            shifts_rep=np.stack([rep(k) for k in index.shifts])[:, None],
+            dummy_rep=rep(index.table_dummy),
         )
 
 
@@ -170,7 +201,7 @@ def _const(spec, x: int) -> jax.Array:
     return jnp.asarray(int_to_limbs(x % spec.p, ffl.REP_LIMBS))
 
 
-@functools.partial(jax.jit, static_argnums=0)
+@jax.jit
 def verify(
     index: DeviceVerifierIndex, proofs: DeviceProofs, rand_weights: jax.Array
 ) -> jax.Array:
@@ -187,7 +218,7 @@ def verify(
     mask128 = jnp.asarray(ipa._MASK128)
 
     # ---- one scheduled transcript for all oracles ----
-    ops: list = [("absorb", jnp.asarray(int_to_limbs(index.digest, NLIMBS)))]
+    ops: list = [("absorb", jnp.asarray(index.digest_limbs))]
     for i in range(npub):
         lo, hi = ipa._split_128_device(proofs.public[:, i])
         ops += [("absorb", lo), ("absorb", hi)]
@@ -259,18 +290,15 @@ def verify(
     zh = sub(zn, one)  # Z_H(zeta)
 
     # Lagrange evals L_i(zeta) = omega^i * zh / (n * (zeta - omega^i))
-    n_inv = _const(fs, pow(index.n, fs.p - 2, fs.p))
+    n_inv = jnp.asarray(index.n_inv_rep)
     pub_eval = ffl.zeros(fs, (B,))
     if npub:
-        omega_pows = [pow(index.omega, i, fs.p) for i in range(npub)]
-        dens = jnp.stack(
-            [sub(zeta, jnp.broadcast_to(_const(fs, w), zeta.shape)) for w in omega_pows],
-            axis=0,
-        )  # (npub, B, L)
+        omega_pows = jnp.asarray(index.omega_pows_rep)  # (npub, L)
+        dens = sub(zeta[None], omega_pows[:, None])  # (npub, B, L)
         dens_inv = ffl.inv(fs, dens)
         for i in range(npub):
             li = mul(
-                mul(mul(dens_inv[i], zh), _const(fs, omega_pows[i])[None]),
+                mul(mul(dens_inv[i], zh), omega_pows[i][None]),
                 n_inv[None],
             )
             pub_eval = add(pub_eval, mul(li, ffl.from_canon(proofs.public[:, i])))
@@ -285,7 +313,7 @@ def verify(
         const=lambda v: jnp.broadcast_to(_const(fs, v), zeta.shape).astype(
             jnp.int32
         ),
-    )
+    )  # poseidon-spec constants are shared per field, safe to bake
     alpha_pows = ipa._powers(fs, alpha, N_ALPHAS)
     row = G.RowView(w=w_z, w_next=w_zw, c=coeff_z)
     gate = G.all_gate_constraints(
@@ -295,7 +323,7 @@ def verify(
     # batched permutation products over the 7 columns (tree-reduced)
     w_stack = ev[:, :PERMUTS, 0].transpose(1, 0, 2)  # (7, B, L)
     sig_stack = ev[:, sig_off : sig_off + PERMUTS, 0].transpose(1, 0, 2)
-    k_stack = jnp.stack([_const(fs, k) for k in index.shifts])[:, None]  # (7,1,L)
+    k_stack = jnp.asarray(index.shifts_rep)  # (7, 1, L)
     num_f = add(add(w_stack, mul(mul(beta[None], k_stack), zeta[None])), gamma[None])
     den_f = add(add(w_stack, mul(beta[None], sig_stack)), gamma[None])
 
@@ -326,7 +354,7 @@ def verify(
         mul(qlk_z, w_z[0]),
         mul(
             sub(one, qlk_z),
-            jnp.broadcast_to(_const(fs, index.table_dummy), zeta.shape).astype(
+            jnp.broadcast_to(jnp.asarray(index.dummy_rep), zeta.shape).astype(
                 jnp.int32
             ),
         ),
@@ -339,7 +367,7 @@ def verify(
         mul(one_pl, add(gamma_l, f_z)),
         add(gpb, add(tbl_z, mul(beta_l, tbl_zw))),
     )
-    omega_last = _const(fs, pow(index.omega, index.n - 1, fs.p))[None]
+    omega_last = jnp.asarray(index.omega_last_rep)[None]
     # L_{n-1}(zeta) = omega^{n-1} * zh / (n (zeta - omega^{n-1}))
     zml = sub(zeta, jnp.broadcast_to(omega_last, zeta.shape).astype(jnp.int32))
     lnm1 = mul(
@@ -377,7 +405,7 @@ def verify(
     eq_ok = ffl.is_zero(fs, sub(lhs, mul(zh, t_at)))  # (B,)
 
     # ---- batched opening via one MSM ----
-    zeta_w = mul(zeta, _const(fs, index.omega)[None])
+    zeta_w = mul(zeta, jnp.asarray(index.omega_rep)[None])
     eval_points = jnp.stack(
         [ffl.canon(fs, zeta), ffl.canon(fs, zeta_w)], axis=1
     )  # (B, 2, 20)

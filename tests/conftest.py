@@ -15,6 +15,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import random
+import sys
+
+# jax's persistent compile cache prefers zstandard, which segfaults
+# serializing the multi-hundred-MB verifier executables; force the zlib
+# fallback by blocking the import before jax loads.
+sys.modules["zstandard"] = None
 
 import jax
 import pytest
