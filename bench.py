@@ -24,7 +24,10 @@ sys.modules["zstandard"] = None  # see tests/conftest.py: zstd cache segfault
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/mina_bridge_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Only persist expensive executables: XLA's CPU executable serialize()
+# segfaults on certain small graphs; the big ones (the only ones worth
+# caching) serialize fine.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 20.0)
 
 import jax.numpy as jnp
 import numpy as np

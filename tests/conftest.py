@@ -32,7 +32,10 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: field/curve kernels are scan-heavy and slow
 # to compile; cache across test runs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/mina_bridge_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Only persist expensive executables: XLA's CPU executable serialize()
+# segfaults on certain small graphs; the big ones (the only ones worth
+# caching) serialize fine.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 20.0)
 
 
 @pytest.fixture
