@@ -60,21 +60,26 @@ def main():
     points = jnp.stack([x, y, z], axis=1)  # (N, 3, L)
 
     rng = np.random.default_rng(0)
-    # random 254-bit scalars as canonical 13-bit limbs
-    scalars = rng.integers(0, 1 << 13, size=(N, NLIMBS), dtype=np.int32)
-    scalars[:, -1] &= (1 << 7) - 1  # keep < 2^254 < p
-    scalars = jnp.asarray(scalars)
+
+    def fresh_scalars():
+        # random 254-bit scalars as canonical 13-bit limbs; distinct every
+        # call so the relayed device cannot serve a cached execution result
+        # (observed: repeating identical inputs returns in ~0.2ms).
+        s = rng.integers(0, 1 << 13, size=(N, NLIMBS), dtype=np.int32)
+        s[:, -1] &= (1 << 7) - 1  # keep < 2^254 < p
+        return jnp.asarray(s)
 
     f = jax.jit(msm_mod.msm, static_argnums=0)
     t0 = time.time()
-    out = f(PALLAS, scalars, points)
+    out = f(PALLAS, fresh_scalars(), points)
     _ = np.asarray(out)  # hard sync: block_until_ready is unreliable here
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     iters = 5
+    batches = [fresh_scalars() for _ in range(iters)]
     t0 = time.time()
-    for i in range(iters):
-        out = f(PALLAS, scalars, points)
+    for s in batches:
+        out = f(PALLAS, s, points)
         _ = np.asarray(out)
     dt = (time.time() - t0) / iters
     pps = N / dt

@@ -35,7 +35,7 @@ from ..curves import host as hc
 from ..curves import jaxcurve as jc
 from ..curves.host import CurveSpec
 from ..fields import ff, ffl, host as fh
-from ..fields.params import LIMB_BITS, NLIMBS, int_to_limbs
+from ..fields.params import LIMB_BITS, LIMB_MASK, NLIMBS, int_to_limbs
 from ..hash import poseidon
 from ..hash.poseidon import HostSponge, Sponge
 from ..hash.poseidon_params import poseidon_spec
@@ -98,6 +98,68 @@ def squeeze_128(sponge: Sponge) -> jax.Array:
 
 def host_squeeze_128(sponge: HostSponge) -> int:
     return _low128_int(sponge.squeeze())
+
+
+def endo_to_field(t: int, endo: int, p: int, nbits: int = CHALLENGE_BITS) -> int:
+    """Kimchi's ScalarChallenge.to_field: map an nbits-bit challenge t to
+    a * endo + b (mod p), crumbs processed MSB-first, crumb j = bits
+    (2j+1, 2j) = (hi, lo); hi selects the endo side, sign = 2*lo - 1.
+    Matches the EndoMul gate identity: starting from Acc = [2](phi(T)+T),
+    the gate chain computes [endo_to_field(t)] T (kimchi/gates.py)."""
+    a = b = 2
+    for j in reversed(range(nbits // 2)):
+        a <<= 1
+        b <<= 1
+        hi, lo = (t >> (2 * j + 1)) & 1, (t >> (2 * j)) & 1
+        s = 2 * lo - 1
+        if hi:
+            a += s
+        else:
+            b += s
+    return (a * endo + b) % p
+
+
+def host_endo_chal(curve: CurveSpec, sponge: HostSponge) -> int:
+    """Squeeze a 128-bit prechallenge and endo-map it (kimchi oracle)."""
+    return endo_to_field(
+        host_squeeze_128(sponge), curve.endo_scalar, curve.scalar.p
+    )
+
+
+def endo_to_field_device(spec, endo: int, t_canon: jax.Array) -> jax.Array:
+    """Device ScalarChallenge.to_field: (..., NLIMBS) canonical limbs of a
+    128-bit challenge -> REP limbs of a*endo + b (mod spec.p).
+
+    Data-parallel closed form of the sequential crumb loop: with crumb
+    j = bits (2j+1, 2j) = (hi, lo) and s_j = 2*lo_j - 1,
+      a = 2^65 + sum_j hi_j s_j 2^j,   b = 2^65 + sum_j (1-hi_j) s_j 2^j,
+    computed without signed bit sums via the two's complement
+      a = 2^64 + pack(pos_a) + pack(~neg_a) + 1."""
+    lead = t_canon.shape[:-1]
+    limbs = t_canon[..., :10]
+    sh = jnp.arange(LIMB_BITS, dtype=jnp.int32)
+    bits = ((limbs[..., None] >> sh) & 1).reshape(*lead, 130)[..., :128]
+    lo, hi = bits[..., 0::2], bits[..., 1::2]  # (..., 64)
+    w13 = jnp.asarray([1 << i for i in range(LIMB_BITS)], jnp.int32)
+
+    def val65(pos, negb):
+        both = pos + (1 - negb)  # pos + bitwise-not(neg), entries in {0,1,2}
+        b65 = jnp.pad(both, [(0, 0)] * (both.ndim - 1) + [(0, 1)])
+        vals = (b65.reshape(*lead, 5, LIMB_BITS) * w13).sum(-1)
+        vals = vals.at[..., 0].add(1)  # +1 completes the two's complement
+        vals = vals.at[..., 4].add(1 << 12)  # +2^64 (bit 64 = limb 4 bit 12)
+        return vals
+
+    a5 = val65(hi * lo, hi * (1 - lo))
+    b5 = val65((1 - hi) * lo, (1 - hi) * (1 - lo))
+    bounds5 = (2 * LIMB_MASK,) * 4 + (2 * LIMB_MASK + (1 << 12) + 1,)
+    endo_l = int_to_limbs(endo, NLIMBS)
+    prod, pb = ffl._conv(
+        a5, bounds5, jnp.asarray(endo_l), tuple(int(v) for v in endo_l)
+    )
+    prod = prod.at[..., :5].add(b5)
+    pb = tuple(pb[i] + (bounds5[i] if i < 5 else 0) for i in range(len(pb)))
+    return ffl._rep(spec, prod, pb)
 
 
 # ---------------------------------------------------------------------------
@@ -178,8 +240,8 @@ class HostIpaProver:
             for pt in commitments:
                 sponge.absorb(pt[0] if pt else 0)
                 sponge.absorb(pt[1] if pt else 0)
-            v = host_squeeze_128(sponge)
-            u = host_squeeze_128(sponge)
+            v = host_endo_chal(curve, sponge)
+            u = host_endo_chal(curve, sponge)
         assert v is not None and u is not None
 
         # combined polynomial and claimed inner product
@@ -242,7 +304,7 @@ class HostIpaProver:
             lr.append((L, R))
             sponge.absorb(L[0]), sponge.absorb(L[1])
             sponge.absorb(R[0]), sponge.absorb(R[1])
-            ch = host_squeeze_128(sponge)
+            ch = host_endo_chal(curve, sponge)
             chals.append(ch)
             ch_inv = fh.finv(curve.scalar, ch)
             # fold: a' = a_lo + ch_inv * a_hi ; b' = b_lo + ch*b_hi ; g' = g_lo + ch*g_hi
@@ -264,7 +326,7 @@ class HostIpaProver:
         delta = hc.add(curve, hc.mul(curve, d, Q), hc.mul(curve, s_d, self.h))
         assert delta is not None
         sponge.absorb(delta[0]), sponge.absorb(delta[1])
-        c = host_squeeze_128(sponge)
+        c = host_endo_chal(curve, sponge)
         z1 = (d + c * a0) % ps
         z2 = (s_d + c * r_acc) % ps
         proof = HostOpeningProof(lr=lr, delta=delta, z1=z1, z2=z2, sg=sg)
@@ -303,8 +365,8 @@ def host_verify(
         for pt in commitments:
             sponge.absorb(pt[0] if pt else 0)
             sponge.absorb(pt[1] if pt else 0)
-        v = host_squeeze_128(sponge)
-        u = host_squeeze_128(sponge)
+        v = host_endo_chal(curve, sponge)
+        u = host_endo_chal(curve, sponge)
     vprime = 0
     for i in range(len(commitments)):
         for j in range(len(eval_points)):
@@ -318,9 +380,9 @@ def host_verify(
     for L, R in proof.lr:
         sponge.absorb(L[0]), sponge.absorb(L[1])
         sponge.absorb(R[0]), sponge.absorb(R[1])
-        chals.append(host_squeeze_128(sponge))
+        chals.append(host_endo_chal(curve, sponge))
     sponge.absorb(proof.delta[0]), sponge.absorb(proof.delta[1])
-    c = host_squeeze_128(sponge)
+    c = host_endo_chal(curve, sponge)
 
     b0 = 0
     for j, x in enumerate(eval_points):
@@ -429,8 +491,8 @@ def batch_verify(
             ops.append(("absorb", openings.commitments[:, i, 1]))
         ops += [("squeeze",), ("squeeze",)]
         (v, u), sponge = poseidon.run_transcript(ps_sponge, ops, batch_shape=(B,))
-        v = ffl.from_canon(v & mask128)
-        u = ffl.from_canon(u & mask128)
+        v = endo_to_field_device(fs, curve.endo_scalar, v & mask128)
+        u = endo_to_field_device(fs, curve.endo_scalar, u & mask128)
     else:
         v = ffl.from_canon(v) if v.shape[-1] == NLIMBS else v
         u = ffl.from_canon(u) if u.shape[-1] == NLIMBS else u
@@ -456,8 +518,9 @@ def batch_verify(
     ops += [("absorb", openings.delta[:, 0]), ("absorb", openings.delta[:, 1]), ("squeeze",)]
     sq, _ = poseidon.run_transcript(ps_sponge, ops, sponge=sponge)
     t = ffl.from_canon(sq[0] & mask128)
-    chals = [ffl.from_canon(x & mask128) for x in sq[1 : 1 + k]]
-    c = ffl.from_canon(sq[1 + k] & mask128)
+    endo = curve.endo_scalar
+    chals = [endo_to_field_device(fs, endo, x & mask128) for x in sq[1 : 1 + k]]
+    c = endo_to_field_device(fs, endo, sq[1 + k] & mask128)
     chal_stack = jnp.stack(chals)  # (k, B, L)
     chal_inv_stack = ffl.inv(fs, chal_stack)
     chal_invs = [chal_inv_stack[i] for i in range(k)]

@@ -46,8 +46,24 @@ class CurveSpec:
 
     @functools.cached_property
     def endo_scalar(self) -> int:
+        """The cube root lambda in the scalar field MATCHING endo_base:
+        phi(P) = (endo_base * x, y) = [endo_scalar] P (checked on the
+        generator; g^((p-1)/3) alone can yield the conjugate root)."""
         g = _least_generator(self.scalar)
-        return pow(g, (self.scalar.p - 1) // 3, self.scalar.p)
+        lam = pow(g, (self.scalar.p - 1) // 3, self.scalar.p)
+        gen = self.generator
+        phi = (self.endo_base * gen[0] % self.base.p, gen[1])
+        if jmul(self, lam, gen) == phi:
+            return lam
+        lam2 = lam * lam % self.scalar.p
+        assert jmul(self, lam2, gen) == phi
+        return lam2
+
+    def phi(self, pt: "Point") -> "Point":
+        """The GLV endomorphism (x, y) -> (endo_base * x, y)."""
+        if pt is None:
+            return None
+        return (self.endo_base * pt[0] % self.base.p, pt[1])
 
     def __repr__(self) -> str:
         return f"CurveSpec({self.name})"
@@ -78,6 +94,13 @@ def _least_generator(spec: FieldSpec) -> int:
 # Pallas: coordinates in Fp, order = |Fq|. Vesta: coordinates in Fq, order |Fp|.
 PALLAS = CurveSpec("pallas", FP, FQ)
 VESTA = CurveSpec("vesta", FQ, FP)
+
+
+def embedded_curve(c: CurveSpec) -> CurveSpec:
+    """The cycle partner whose COORDINATES live in c's scalar field — the
+    curve that EC gates (complete_add/varbasemul/endomul) operate on
+    inside circuits proven over c (kimchi's step/wrap duality)."""
+    return VESTA if c is PALLAS or c.name == "pallas" else PALLAS
 
 # Affine point: (x, y) ints, or None for the identity.
 Point = tuple[int, int] | None

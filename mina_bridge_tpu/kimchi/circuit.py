@@ -21,6 +21,21 @@ from .domain import Domain, ifft
 COLUMNS = 15  # kimchi register count (README.md:398)
 PERMUTS = 7  # columns under copy constraints
 COEFFS = 15  # coefficient columns
+ZK_ROWS = 3  # last rows: random witness/z values (kimchi zero-knowledge rows)
+
+
+@functools.cache
+def gate_ctx(field: FieldSpec) -> G.GateCtx:
+    """Shared gate-evaluation context for circuits over `field`: poseidon
+    spec plus the embedded curve's endo coefficient (the curve whose
+    coordinates live in `field` — kimchi's step/wrap duality)."""
+    from ..curves.host import PALLAS, VESTA
+
+    emb = PALLAS if field.name == "fp" else VESTA
+    assert emb.base is field
+    return G.GateCtx(
+        ps=poseidon_spec(field.name), endo=emb.endo_base, p=field.p
+    )
 
 
 @functools.cache
@@ -100,7 +115,7 @@ class Circuit:
         """Debug: assert every gate + copy constraint holds."""
         p = self.domain.field.p
         ops = G.host_ops(p)
-        ps = poseidon_spec(self.domain.field.name)
+        ctx = gate_ctx(self.domain.field)
         n = self.n
         for i in range(n):
             row = G.RowView(
@@ -109,15 +124,11 @@ class Circuit:
                 c=[self.coeffs[c][i] for c in range(COEFFS)],
             )
             pub_i = pub[i] if i < len(pub) else 0
-            if self.sel[G.GATE_GENERIC][i]:
-                for e in G.generic_constraints(ops, row, pub_i):
-                    assert e == 0, f"generic constraint failed at row {i}"
-            if self.sel[G.GATE_POSEIDON][i]:
-                for j, e in enumerate(G.poseidon_constraints(ops, row, ps)):
-                    assert e == 0, f"poseidon constraint {j} failed at row {i}"
-            if self.sel[G.GATE_COMPLETE_ADD][i]:
-                for j, e in enumerate(G.complete_add_constraints(ops, row)):
-                    assert e == 0, f"complete_add constraint {j} failed row {i}"
+            per_gate = G.gate_constraints(ops, row, ctx, pub_i)
+            for name in G.GATE_ORDER:
+                if self.sel[name][i]:
+                    for j, e in enumerate(per_gate[name]):
+                        assert e == 0, f"{name} constraint {j} failed at row {i}"
         for (c, r), (c2, r2) in self.wiring.items():
             assert w[c][r] == w[c2][r2], f"copy constraint failed {(c, r)}"
         table = set(self.lookup_table)
@@ -180,14 +191,17 @@ class CircuitBuilder:
         return row
 
     # --- kimchi gadgets ---
-    def poseidon_permutation(self) -> tuple[list, list, list[int]]:
-        """Add an 11-row poseidon permutation + 1 output row.
+    def poseidon_permutation(self, nrows: int | None = None):
+        """Add an nrows-row poseidon span + 1 output row (default: the
+        full 11-row / 55-round kimchi permutation).
 
         Returns (input_cells, output_cells, rows): input cells are
         (col 0..2, first row); outputs are (col 0..2, output row).
         """
         ps = poseidon_spec(self.domain.field.name)
-        nrows = len(ps.round_constants) // G.ROUNDS_PER_ROW  # 11
+        if nrows is None:
+            nrows = len(ps.round_constants) // G.ROUNDS_PER_ROW  # 11
+        assert nrows <= len(ps.round_constants) // G.ROUNDS_PER_ROW
         first = len(self.rows)
         for r in range(nrows):
             coeffs = [0] * COEFFS
@@ -209,12 +223,66 @@ class CircuitBuilder:
         names = "x1 y1 x2 y2 x3 y3 inf same_x s inf_z x21_inv".split()
         return {name: (i, row) for i, name in enumerate(names)} | {"row": row}
 
+    def varbasemul_chunk(self) -> dict:
+        """One varbasemul 2-row chunk (5 scalar bits). Returns the cell
+        map; consecutive chunks chain via connect(acc_out, acc_in) and
+        connect(n_out, n_in)."""
+        row = len(self.rows)
+        self.rows.append((G.GATE_VARBASEMUL, None))
+        aux = self.zero_row()
+        return {
+            "row": row,
+            "T": ((0, row), (1, row)),
+            "acc_in": ((2, row), (3, row)),
+            "n_in": (4, row),
+            "n_out": (5, row),
+            "acc_out": ((0, aux), (1, aux)),
+            "bits": [(2 + i, aux) for i in range(G.VBMUL_BITS_PER_CHUNK)],
+        }
+
+    def endomul_row(self) -> dict:
+        """One endomul row (4 scalar bits). Consecutive endomul rows
+        chain automatically (output in the next row's xP/yP/n slots);
+        after the LAST one call endomul_terminal()."""
+        row = len(self.rows)
+        self.rows.append((G.GATE_ENDOMUL, None))
+        return {
+            "row": row,
+            "T": ((0, row), (1, row)),
+            "acc_in": ((4, row), (5, row)),
+            "n_in": (6, row),
+            "bits": [(11 + i, row) for i in range(4)],
+        }
+
+    def endomul_terminal(self) -> dict:
+        """Constraint-free row catching the last endomul row's output."""
+        row = self.zero_row()
+        return {"row": row, "acc_out": ((4, row), (5, row)), "n_out": (6, row)}
+
+    def endomulscalar_row(self) -> dict:
+        """One endomulscalar row (8 crumbs = 16 challenge bits).
+        Chain via connect(n8/a8/b8 -> next row's n0/a0/b0)."""
+        row = len(self.rows)
+        self.rows.append((G.GATE_ENDOMULSCALAR, None))
+        names = "n0 n8 a0 b0 a8 b8".split()
+        cells = {name: (i, row) for i, name in enumerate(names)}
+        cells["crumbs"] = [
+            (6 + i, row) for i in range(G.EMSCALAR_CRUMBS_PER_ROW)
+        ]
+        cells["row"] = row
+        return cells
+
     def connect(self, cells: list[tuple[int, int]]) -> None:
         self.cycles.append(list(cells))
 
     def build(self) -> Circuit:
         n = self.domain.n
-        assert len(self.rows) <= n, f"{len(self.rows)} rows > domain {n}"
+        # the last ZK_ROWS rows carry random values, and the row before
+        # them may be read as w_next by the last gate row: keep them free
+        assert len(self.rows) + 1 <= n - ZK_ROWS, (
+            f"{len(self.rows)} rows do not fit domain {n} with "
+            f"{ZK_ROWS} zk rows"
+        )
         coeffs = [[0] * n for _ in range(COEFFS)]
         sel = {g: [0] * n for g in G.GATE_ORDER}
         for i, spec in enumerate(self.rows):

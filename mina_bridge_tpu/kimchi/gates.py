@@ -27,9 +27,22 @@ from ..hash.poseidon_params import WIDTH, PoseidonSpec
 GATE_GENERIC = "generic"
 GATE_POSEIDON = "poseidon"
 GATE_COMPLETE_ADD = "complete_add"
-GATE_ORDER = (GATE_GENERIC, GATE_POSEIDON, GATE_COMPLETE_ADD)
+GATE_VARBASEMUL = "varbasemul"
+GATE_ENDOMUL = "endomul"
+GATE_ENDOMULSCALAR = "endomulscalar"
+GATE_ORDER = (
+    GATE_GENERIC,
+    GATE_POSEIDON,
+    GATE_COMPLETE_ADD,
+    GATE_VARBASEMUL,
+    GATE_ENDOMUL,
+    GATE_ENDOMULSCALAR,
+)
 
 ROUNDS_PER_ROW = 5
+VBMUL_BITS_PER_CHUNK = 5  # varbasemul: 5 scalar bits per 2-row chunk
+ENDOMUL_BITS_PER_ROW = 4  # endomul: 4 scalar bits (2 crumbs) per row
+EMSCALAR_CRUMBS_PER_ROW = 8  # endomulscalar: 8 two-bit crumbs per row
 
 
 @dataclasses.dataclass
@@ -153,11 +166,205 @@ def complete_add_constraints(ops: FieldOps, row: RowView) -> list:
     return out
 
 
+def varbasemul_constraints(ops: FieldOps, row: RowView) -> list:
+    """Kimchi VarBaseMul: 5 double-and-add steps Acc <- 2*Acc + (2b-1)*T
+    per 2-row chunk, each step as one combined (Acc + Q) + Acc double
+    chord (Halo trick, kimchi varbasemul.rs layout):
+
+      curr: xT yT x0 y0 n n' -- x1 y1 x2 y2 x3 y3 x4 y4
+      next: x5 y5 b0 b1 b2 b3 b4 s0 s1 s2 s3 s4
+
+    Per bit i with P=(x_i,y_i), Out=(x_{i+1},y_{i+1}), slope s_i of the
+    chord P -> (2b_i-1)*T (the second chord is eliminated):
+      1. b_i (b_i - 1) = 0
+      2. (x_i - xT) s_i = y_i - (2 b_i - 1) yT
+      3. (2 x_i + xT - s_i^2)((x_i - x_{i+1}) s_i + y_{i+1} + y_i)
+           = 2 y_i (x_i - x_{i+1})
+      4. (y_{i+1} + y_i)^2 = (x_i - x_{i+1})^2 (s_i^2 - xT + x_{i+1})
+    plus the scalar accumulator n' = 32 n + 16 b0 + 8 b1 + 4 b2 + 2 b3 + b4.
+    21 constraints, max degree 4 (before the selector)."""
+    xT, yT = row.w[0], row.w[1]
+    n, n_prime = row.w[4], row.w[5]
+    xs = [row.w[2], row.w[7], row.w[9], row.w[11], row.w[13], row.w_next[0]]
+    ys = [row.w[3], row.w[8], row.w[10], row.w[12], row.w[14], row.w_next[1]]
+    bs = [row.w_next[2 + i] for i in range(VBMUL_BITS_PER_CHUNK)]
+    ss = [row.w_next[7 + i] for i in range(VBMUL_BITS_PER_CHUNK)]
+    one = ops.const(1)
+    two = ops.const(2)
+    out = []
+    acc = n
+    for b in bs:
+        acc = ops.add(ops.add(acc, acc), b)
+    out.append(ops.sub(n_prime, acc))
+    for i in range(VBMUL_BITS_PER_CHUNK):
+        b, s = bs[i], ss[i]
+        xp, yp, xo, yo = xs[i], ys[i], xs[i + 1], ys[i + 1]
+        out.append(ops.mul(b, ops.sub(b, one)))
+        sign_y = ops.mul(ops.sub(ops.add(b, b), one), yT)  # (2b-1) yT
+        out.append(ops.sub(ops.mul(ops.sub(xp, xT), s), ops.sub(yp, sign_y)))
+        s2 = ops.mul(s, s)
+        dx = ops.sub(xp, xo)
+        lhs3 = ops.mul(
+            ops.sub(ops.add(ops.add(xp, xp), xT), s2),
+            ops.add(ops.mul(dx, s), ops.add(yo, yp)),
+        )
+        out.append(ops.sub(lhs3, ops.mul(ops.mul(two, yp), dx)))
+        sy = ops.add(yo, yp)
+        out.append(
+            ops.sub(
+                ops.mul(sy, sy),
+                ops.mul(ops.mul(dx, dx), ops.add(ops.sub(s2, xT), xo)),
+            )
+        )
+    return out
+
+
+def endomul_constraints(ops: FieldOps, row: RowView, endo: int) -> list:
+    """Kimchi EndoMul: 4 bits / 2 endo-steps per row. Each step adds
+    Q = (2b_odd - 1) * phi^{b_even}(T) via the same eliminated double
+    chord: Acc <- 2*Acc + Q. Layout (kimchi endomul.rs):
+
+      curr: xT yT -- -- xP yP n xR yR s1 s3 b1 b2 b3 b4
+      next: --  -- -- -- xS yS n'
+
+    (the output lands in the next row's xP/yP/n slots, so consecutive
+    endomul rows chain with no copy constraints). Crumb convention
+    (matches ipa.endo_to_field): b1/b3 are the HIGH bits (phi selector),
+    b2/b4 the LOW bits (sign):
+      xQ1 = (1 + (endo-1) b1) xT, yQ1 = (2 b2 - 1) yT  (P -> R, slope s1)
+      xQ2 = (1 + (endo-1) b3) xT, yQ2 = (2 b4 - 1) yT  (R -> S, slope s3)
+    and n' = 16 n + 8 b1 + 4 b2 + 2 b3 + b4, so starting from
+    Acc = [2](phi(T) + T) over all 64 crumbs of a 128-bit challenge t
+    yields Acc_final = [endo_to_field(t)] T. 11 constraints."""
+    xT, yT = row.w[0], row.w[1]
+    xP, yP = row.w[4], row.w[5]
+    n = row.w[6]
+    xR, yR = row.w[7], row.w[8]
+    s1, s3 = row.w[9], row.w[10]
+    b1, b2, b3, b4 = row.w[11], row.w[12], row.w[13], row.w[14]
+    xS, yS = row.w_next[4], row.w_next[5]
+    n_prime = row.w_next[6]
+    one = ops.const(1)
+    two = ops.const(2)
+    endo_m1 = ops.const(endo - 1)
+    out = []
+    for b in (b1, b2, b3, b4):
+        out.append(ops.mul(b, ops.sub(b, one)))
+
+    def step(xp, yp, xq_sel, yq_sign, s, xo, yo):
+        xq = ops.mul(ops.add(one, ops.mul(endo_m1, xq_sel)), xT)
+        yq = ops.mul(ops.sub(ops.add(yq_sign, yq_sign), one), yT)
+        out.append(ops.sub(ops.mul(ops.sub(xp, xq), s), ops.sub(yp, yq)))
+        s2 = ops.mul(s, s)
+        dx = ops.sub(xp, xo)
+        lhs = ops.mul(
+            ops.sub(ops.add(ops.add(xp, xp), xq), s2),
+            ops.add(ops.mul(dx, s), ops.add(yo, yp)),
+        )
+        out.append(ops.sub(lhs, ops.mul(ops.mul(two, yp), dx)))
+        sy = ops.add(yo, yp)
+        out.append(
+            ops.sub(
+                ops.mul(sy, sy),
+                ops.mul(ops.mul(dx, dx), ops.add(ops.sub(s2, xq), xo)),
+            )
+        )
+
+    step(xP, yP, b1, b2, s1, xR, yR)
+    step(xR, yR, b3, b4, s3, xS, yS)
+    acc = n
+    for b in (b1, b2, b3, b4):
+        acc = ops.add(ops.add(acc, acc), b)
+    out.append(ops.sub(n_prime, acc))
+    return out
+
+
+def _emscalar_coeffs(p: int) -> tuple[list[int], list[int]]:
+    """Cubic interpolants (mod p) of the crumb -> (d_a, d_b) increments of
+    the endo scalar decomposition (kimchi endomul_scalar.rs):
+      crumb c = 2*r_hi + r_lo; s = 2*r_lo - 1;
+      r_hi == 1 -> a += s  else b += s
+    d_a: (0,0) (1,0) (2,-1) (3,1)   d_b: (0,-1) (1,1) (2,0) (3,0)."""
+    inv6 = pow(6, p - 2, p)
+    # d_a(x) = (2/3) x^3 - (5/2) x^2 + (11/6) x
+    da = [0, 11 * inv6 % p, (p - 15 * inv6) % p, 4 * inv6 % p]
+    # d_b(x) = (2/3) x^3 - (7/2) x^2 + (29/6) x - 1
+    db = [p - 1, 29 * inv6 % p, (p - 21 * inv6) % p, 4 * inv6 % p]
+    return da, db
+
+
+def endomulscalar_constraints(ops: FieldOps, row: RowView, p: int) -> list:
+    """Kimchi EndoMulScalar: 8 two-bit crumbs per row, accumulating the
+    (a, b) endo decomposition and the plain scalar n. Layout:
+
+      curr: n0 n8 a0 b0 a8 b8 x0 x1 x2 x3 x4 x5 x6 x7
+
+    Constraints: crumb range x(x-1)(x-2)(x-3) = 0 (x8), and
+      n8 = 2^16 n0 + sum x_i 4^(7-i)
+      a8 = 2^8 a0 + sum d_a(x_i) 2^(7-i)
+      b8 = 2^8 b0 + sum d_b(x_i) 2^(7-i)
+    11 constraints, max degree 4."""
+    n0, n8, a0, b0, a8, b8 = row.w[:6]
+    xs = row.w[6 : 6 + EMSCALAR_CRUMBS_PER_ROW]
+    da, db = _emscalar_coeffs(p)
+    one, two, three = ops.const(1), ops.const(2), ops.const(3)
+    out = []
+
+    def cubic(coeffs, x):
+        acc = ops.const(coeffs[3])
+        for c in (coeffs[2], coeffs[1], coeffs[0]):
+            acc = ops.add(ops.mul(acc, x), ops.const(c))
+        return acc
+
+    for x in xs:
+        out.append(
+            ops.mul(
+                ops.mul(x, ops.sub(x, one)),
+                ops.mul(ops.sub(x, two), ops.sub(x, three)),
+            )
+        )
+    n_acc, a_acc, b_acc = n0, a0, b0
+    for x in xs:
+        n4 = ops.add(n_acc, n_acc)
+        n4 = ops.add(n4, n4)
+        n_acc = ops.add(n4, x)
+        a_acc = ops.add(ops.add(a_acc, a_acc), cubic(da, x))
+        b_acc = ops.add(ops.add(b_acc, b_acc), cubic(db, x))
+    out.append(ops.sub(n8, n_acc))
+    out.append(ops.sub(a8, a_acc))
+    out.append(ops.sub(b8, b_acc))
+    return out
+
+
 def n_constraints(ps: PoseidonSpec) -> dict[str, int]:
     return {
         GATE_GENERIC: 1,
         GATE_POSEIDON: ROUNDS_PER_ROW * WIDTH,
         GATE_COMPLETE_ADD: 7,
+        GATE_VARBASEMUL: 1 + 4 * VBMUL_BITS_PER_CHUNK,
+        GATE_ENDOMUL: 11,
+        GATE_ENDOMULSCALAR: EMSCALAR_CRUMBS_PER_ROW + 3,
+    }
+
+
+@dataclasses.dataclass
+class GateCtx:
+    """Per-field context shared by every gate constraint evaluator."""
+
+    ps: PoseidonSpec  # poseidon round constants / MDS for this field
+    endo: int  # endo_base of the EMBEDDED curve (endomul gate)
+    p: int  # the circuit field prime (interpolation constants)
+
+
+def gate_constraints(ops: FieldOps, row: RowView, ctx: GateCtx, public: Any) -> dict:
+    """name -> constraint list, in GATE_ORDER."""
+    return {
+        GATE_GENERIC: generic_constraints(ops, row, public),
+        GATE_POSEIDON: poseidon_constraints(ops, row, ctx.ps),
+        GATE_COMPLETE_ADD: complete_add_constraints(ops, row),
+        GATE_VARBASEMUL: varbasemul_constraints(ops, row),
+        GATE_ENDOMUL: endomul_constraints(ops, row, ctx.endo),
+        GATE_ENDOMULSCALAR: endomulscalar_constraints(ops, row, ctx.p),
     }
 
 
@@ -166,17 +373,15 @@ def all_gate_constraints(
     row: RowView,
     selectors: dict[str, Any],
     public: Any,
-    ps: PoseidonSpec,
+    ctx: GateCtx,
     alpha_pows: list,
 ) -> Any:
     """Selector-weighted, alpha-combined sum of every gate constraint."""
+    per_gate = gate_constraints(ops, row, ctx, public)
     exprs: list = []
-    for e in generic_constraints(ops, row, public):
-        exprs.append(ops.mul(selectors[GATE_GENERIC], e))
-    for e in poseidon_constraints(ops, row, ps):
-        exprs.append(ops.mul(selectors[GATE_POSEIDON], e))
-    for e in complete_add_constraints(ops, row):
-        exprs.append(ops.mul(selectors[GATE_COMPLETE_ADD], e))
+    for name in GATE_ORDER:
+        for e in per_gate[name]:
+            exprs.append(ops.mul(selectors[name], e))
     acc = None
     for i, e in enumerate(exprs):
         term = ops.mul(alpha_pows[i], e)
@@ -184,4 +389,6 @@ def all_gate_constraints(
     return acc
 
 
-N_GATE_CONSTRAINTS = 1 + ROUNDS_PER_ROW * WIDTH + 7  # 23
+N_GATE_CONSTRAINTS = (
+    1 + ROUNDS_PER_ROW * WIDTH + 7 + (1 + 4 * VBMUL_BITS_PER_CHUNK) + 11 + 11
+)  # 66

@@ -31,7 +31,15 @@ from ..curves.host import CurveSpec
 from ..hash.poseidon import HostSponge
 from ..hash.poseidon_params import poseidon_spec
 from . import gates as G
-from .circuit import COEFFS, COLUMNS, PERMUTS, Circuit, shifts
+from .circuit import (
+    COEFFS,
+    COLUMNS,
+    PERMUTS,
+    ZK_ROWS,
+    Circuit,
+    gate_ctx,
+    shifts,
+)
 from .domain import Domain, coset_fft, coset_ifft, fft, ifft, poly_eval
 
 T_CHUNKS = 7
@@ -41,9 +49,10 @@ N_LOOKUP_OPENED = 5  # h1, h2, z_lookup, table, q_lookup
 N_OPENED = (
     COLUMNS + 1 + PERMUTS + COEFFS + len(G.GATE_ORDER) + N_LOOKUP_OPENED + T_CHUNKS
 )  # 53
-# alpha powers: gates 0..22, perm 23..24, lookup 25..28
+# alpha powers: gates, then permutation (recurrence*zkpm, L0 boundary,
+# L_{n-ZK_ROWS} boundary), then the 4 lookup constraints
 ALPHA_PERM = G.N_GATE_CONSTRAINTS
-ALPHA_LOOKUP = ALPHA_PERM + 2
+ALPHA_LOOKUP = ALPHA_PERM + 3
 N_ALPHAS = ALPHA_LOOKUP + 4
 
 
@@ -183,8 +192,16 @@ def prove(
     g = g[:n]
     circuit.check_witness(witness, public)
     ks = index.shifts
-    pspec = poseidon_spec(dom.field.name)
+    gctx = gate_ctx(dom.field)
     ops = G.host_ops(ps)
+
+    # 0. zero-knowledge rows: the last ZK_ROWS rows of every witness
+    # column are replaced with random values (kimchi zk rows); gates,
+    # wiring and lookups never touch them (circuit.build guarantees it)
+    witness = [col[:] for col in witness]
+    for c in range(COLUMNS):
+        for r in range(n - ZK_ROWS, n):
+            witness[c][r] = rng.randrange(ps)
 
     # 1. witness commitments
     w_coeffs = [ifft(dom, col) for col in witness]
@@ -223,24 +240,26 @@ def prove(
     beta = ipa.host_squeeze_128(sponge)
     gamma = ipa.host_squeeze_128(sponge)
 
-    # 2. permutation accumulator z
+    # 2. permutation accumulator z over rows 0..n-ZK_ROWS-1; the zk rows
+    # carry random z values, and the closing condition is z[n-ZK_ROWS]=1
+    # (the recurrence constraint is multiplied by zkpm, which vanishes on
+    # the zk rows, so those entries are unconstrained)
     sig_evals = [fft(dom, c) for c in index.sigma_coeffs]
     pow_omega = [1] * n
     for i in range(1, n):
         pow_omega[i] = pow_omega[i - 1] * dom.omega % ps
     z = [1]
-    for i in range(n - 1):
+    for i in range(n - ZK_ROWS):
         num = den = 1
         for j in range(PERMUTS):
             num = num * (witness[j][i] + beta * ks[j] * pow_omega[i] + gamma) % ps
             den = den * (witness[j][i] + beta * sig_evals[j][i] + gamma) % ps
         z.append(z[-1] * num * pow(den, ps - 2, ps) % ps)
-    num = den = 1
-    i = n - 1
-    for j in range(PERMUTS):
-        num = num * (witness[j][i] + beta * ks[j] * pow_omega[i] + gamma) % ps
-        den = den * (witness[j][i] + beta * sig_evals[j][i] + gamma) % ps
-    assert z[-1] * num % ps == den % ps, "permutation argument does not close"
+    assert z[n - ZK_ROWS] == 1, "permutation argument does not close"
+    z = z[: n - ZK_ROWS + 1] + [
+        rng.randrange(ps) for _ in range(ZK_ROWS - 1)
+    ]
+    assert len(z) == n
 
     z_coeffs = ifft(dom, z)
     z_blind = rng.randrange(ps)
@@ -270,7 +289,7 @@ def prove(
 
     _absorb_point(sponge, z_comm)
     _absorb_point(sponge, zl_comm)
-    alpha = ipa.host_squeeze_128(sponge)
+    alpha = ipa.host_endo_chal(curve, sponge)
     alpha_pows = [pow(alpha, k, ps) for k in range(N_ALPHAS)]
 
     # 3. quotient t on a coset of the 8n domain
@@ -303,7 +322,11 @@ def prove(
     tbl_ext, tblw_ext = ext(tbl_coeffs), ext_shift(tbl_coeffs)
     qlk_ext = ext(qlk_coeffs)
     lnm1_ext = ext(ifft(dom, [0] * (n - 1) + [1]))
+    lzk_ext = ext(
+        ifft(dom, [int(i == n - ZK_ROWS) for i in range(n)])
+    )  # L_{n-ZK_ROWS}
     omega_last = pow(dom.omega, n - 1, ps)
+    omega_zk = [pow(dom.omega, n - j, ps) for j in range(1, ZK_ROWS + 1)]
     pub_coeffs = ifft(
         dom, [public[i] if i < len(public) else 0 for i in range(n)]
     )
@@ -325,14 +348,18 @@ def prove(
         )
         selectors = {g_: sel_ext[g_][i] for g_ in G.GATE_ORDER}
         gate = G.all_gate_constraints(
-            ops, row, selectors, pub_ext[i], pspec, alpha_pows
+            ops, row, selectors, pub_ext[i], gctx, alpha_pows
         )
         num = den = 1
         for j in range(PERMUTS):
             num = num * (w_ext[j][i] + beta * ks[j] * xi + gamma) % ps
             den = den * (w_ext[j][i] + beta * sig_ext[j][i] + gamma) % ps
-        p2 = (z_ext[i] * num - zw_ext[i] * den) % ps
+        zkpm_i = 1
+        for wz in omega_zk:
+            zkpm_i = zkpm_i * (xi - wz) % ps
+        p2 = (z_ext[i] * num - zw_ext[i] * den) * zkpm_i % ps
         p1 = l0_ext[i] * (z_ext[i] - 1) % ps
+        p3 = lzk_ext[i] * (z_ext[i] - 1) % ps
         # lookup constraints
         f_i = (qlk_ext[i] * w_ext[0][i] + (1 - qlk_ext[i]) * dummy) % ps
         A = (
@@ -355,6 +382,7 @@ def prove(
             gate
             + alpha_pows[ALPHA_PERM] * p2
             + alpha_pows[ALPHA_PERM + 1] * p1
+            + alpha_pows[ALPHA_PERM + 2] * p3
             + alpha_pows[ALPHA_LOOKUP] * lk_rec
             + alpha_pows[ALPHA_LOOKUP + 1] * lk_0
             + alpha_pows[ALPHA_LOOKUP + 2] * lk_last
@@ -371,7 +399,7 @@ def prove(
     ]
     for pt in t_comm:
         _absorb_point(sponge, pt)
-    zeta = ipa.host_squeeze_128(sponge)
+    zeta = ipa.host_endo_chal(curve, sponge)
     zeta_w = zeta * dom.omega % ps
 
     # 4. evaluations in OPEN_ORDER
@@ -390,8 +418,8 @@ def prove(
     for e0, e1 in evals:
         _absorb_scalar(sponge, curve, e0)
         _absorb_scalar(sponge, curve, e1)
-    v = ipa.host_squeeze_128(sponge)
-    u = ipa.host_squeeze_128(sponge)
+    v = ipa.host_endo_chal(curve, sponge)
+    u = ipa.host_endo_chal(curve, sponge)
 
     prover = ipa.HostIpaProver(curve, g, h, rng)
     opening, _ = prover.open(
@@ -418,7 +446,7 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     n = dom.n
     ks = index.shifts
     ops = G.host_ops(ps)
-    pspec = poseidon_spec(dom.field.name)
+    gctx = gate_ctx(dom.field)
 
     sponge = HostSponge(poseidon_spec(ipa.sponge_for(curve)))
     sponge.absorb(index.digest())
@@ -434,17 +462,17 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     gamma = ipa.host_squeeze_128(sponge)
     _absorb_point(sponge, proof.z_comm)
     _absorb_point(sponge, proof.zl_comm)
-    alpha = ipa.host_squeeze_128(sponge)
+    alpha = ipa.host_endo_chal(curve, sponge)
     alpha_pows = [pow(alpha, k, ps) for k in range(N_ALPHAS)]
     for pt in proof.t_comm:
         _absorb_point(sponge, pt)
-    zeta = ipa.host_squeeze_128(sponge)
+    zeta = ipa.host_endo_chal(curve, sponge)
     zeta_w = zeta * dom.omega % ps
     for e0, e1 in proof.evals:
         _absorb_scalar(sponge, curve, e0)
         _absorb_scalar(sponge, curve, e1)
-    v = ipa.host_squeeze_128(sponge)
-    u = ipa.host_squeeze_128(sponge)
+    v = ipa.host_endo_chal(curve, sponge)
+    u = ipa.host_endo_chal(curve, sponge)
 
     ev = proof.evals
     off = 0
@@ -476,14 +504,18 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
         % ps
     )
     row = G.RowView(w=w_z, w_next=w_zw, c=coeff_z)
-    gate = G.all_gate_constraints(ops, row, sel_z, pub_eval, pspec, alpha_pows)
+    gate = G.all_gate_constraints(ops, row, sel_z, pub_eval, gctx, alpha_pows)
     num = den = 1
     for j in range(PERMUTS):
         num = num * (w_z[j] + beta * ks[j] * zeta + gamma) % ps
         den = den * (w_z[j] + beta * sig_z[j] + gamma) % ps
-    p2 = (z_z * num - z_zw * den) % ps
+    zkpm_z = 1
+    for j in range(1, ZK_ROWS + 1):
+        zkpm_z = zkpm_z * (zeta - pow(dom.omega, n - j, ps)) % ps
+    p2 = (z_z * num - z_zw * den) * zkpm_z % ps
     l0 = dom.lagrange_eval(0, zeta)
     p1 = l0 * (z_z - 1) % ps
+    p3 = dom.lagrange_eval(n - ZK_ROWS, zeta) * (z_z - 1) % ps
     # lookup constraints at zeta
     gpb = gamma_l * (1 + beta_l) % ps
     f_z = (qlk_z * w_z[0] + (1 - qlk_z) * index.table_dummy) % ps
@@ -510,6 +542,7 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
         gate
         + alpha_pows[ALPHA_PERM] * p2
         + alpha_pows[ALPHA_PERM + 1] * p1
+        + alpha_pows[ALPHA_PERM + 2] * p3
         + alpha_pows[ALPHA_LOOKUP] * lk_rec
         + alpha_pows[ALPHA_LOOKUP + 1] * lk_0
         + alpha_pows[ALPHA_LOOKUP + 2] * lk_last

@@ -32,7 +32,7 @@ from ..fields.params import NLIMBS, int_to_limbs
 from ..hash import poseidon
 from ..hash.poseidon_params import poseidon_spec
 from . import gates as G
-from .circuit import COEFFS, COLUMNS, PERMUTS
+from .circuit import COEFFS, COLUMNS, PERMUTS, ZK_ROWS
 from .prover_host import (
     ALPHA_LOOKUP,
     ALPHA_PERM,
@@ -54,6 +54,7 @@ from .prover_host import (
         "digest_limbs",
         "omega_rep",
         "omega_last_rep",
+        "omega_zk_rep",
         "n_inv_rep",
         "omega_pows_rep",
         "shifts_rep",
@@ -79,6 +80,7 @@ class DeviceVerifierIndex:
     digest_limbs: np.ndarray  # (NLIMBS,)
     omega_rep: np.ndarray  # (REP_LIMBS,)
     omega_last_rep: np.ndarray  # (REP_LIMBS,) = omega^(n-1)
+    omega_zk_rep: np.ndarray  # (ZK_ROWS, REP_LIMBS): omega^(n-1..n-ZK_ROWS)
     n_inv_rep: np.ndarray  # (REP_LIMBS,)
     omega_pows_rep: np.ndarray  # (npub, REP_LIMBS)
     shifts_rep: np.ndarray  # (PERMUTS, 1, REP_LIMBS)
@@ -113,6 +115,9 @@ class DeviceVerifierIndex:
             digest_limbs=int_to_limbs(index.digest(), NLIMBS),
             omega_rep=rep(omega),
             omega_last_rep=rep(pow(omega, n - 1, fs.p)),
+            omega_zk_rep=np.stack(
+                [rep(pow(omega, n - j, fs.p)) for j in range(1, ZK_ROWS + 1)]
+            ),
             n_inv_rep=rep(pow(n, fs.p - 2, fs.p)),
             omega_pows_rep=np.stack(
                 [rep(pow(omega, i, fs.p)) for i in range(max(index.npub, 1))]
@@ -250,8 +255,11 @@ def verify(
             ops += [("absorb", lo), ("absorb", hi)]
     ops += [("squeeze",), ("squeeze",)]  # v, u
     sq, sponge = poseidon.run_transcript(ps_sponge, ops, batch_shape=(B,))
-    beta_l, gamma_l, beta, gamma, alpha, zeta, v, u = [
-        ffl.from_canon(x & mask128) for x in sq
+    beta_l, gamma_l, beta, gamma = [ffl.from_canon(x & mask128) for x in sq[:4]]
+    # alpha/zeta/v/u go through the endo map (kimchi ScalarChallenge)
+    alpha, zeta, v, u = [
+        ipa.endo_to_field_device(fs, curve.endo_scalar, x & mask128)
+        for x in sq[4:]
     ]
 
     # ---- scalar identity at zeta ----
@@ -304,8 +312,10 @@ def verify(
             pub_eval = add(pub_eval, mul(li, ffl.from_canon(proofs.public[:, i])))
 
     # gate constraints via the shared expressions (device field ops)
-    from ..hash.poseidon_params import poseidon_spec as _pspec
+    from ..fields.params import FP, FQ
+    from .circuit import gate_ctx
 
+    gctx = gate_ctx(FP if index.field_name == "fp" else FQ)
     dev_ops = G.FieldOps(
         add=add,
         sub=sub,
@@ -317,7 +327,7 @@ def verify(
     alpha_pows = ipa._powers(fs, alpha, N_ALPHAS)
     row = G.RowView(w=w_z, w_next=w_zw, c=coeff_z)
     gate = G.all_gate_constraints(
-        dev_ops, row, sel_z, pub_eval, _pspec(index.field_name), alpha_pows
+        dev_ops, row, sel_z, pub_eval, gctx, alpha_pows
     )
 
     # batched permutation products over the 7 columns (tree-reduced)
@@ -342,10 +352,21 @@ def verify(
 
     num = tree_prod(num_f)
     den = tree_prod(den_f)
-    p2 = sub(mul(z_z, num), mul(z_zw, den))
+    # zkpm(zeta) = prod_j (zeta - omega^(n-j)), j = 1..ZK_ROWS
+    omega_zk = jnp.asarray(index.omega_zk_rep)  # (ZK_ROWS, L)
+    zkpm = sub(zeta, jnp.broadcast_to(omega_zk[0][None], zeta.shape).astype(jnp.int32))
+    for j in range(1, ZK_ROWS):
+        zkpm = mul(zkpm, sub(zeta, omega_zk[j][None]))
+    p2 = mul(sub(mul(z_z, num), mul(z_zw, den)), zkpm)
     # L_0(zeta)
     l0 = mul(mul(ffl.inv(fs, sub(zeta, one)), zh), n_inv[None])
     p1 = mul(l0, sub(z_z, one))
+    # L_{n-ZK_ROWS}(zeta) boundary: z(omega^(n-ZK_ROWS)) = 1
+    w_zk = omega_zk[ZK_ROWS - 1][None]
+    lzk = mul(
+        mul(mul(ffl.inv(fs, sub(zeta, w_zk)), zh), w_zk), n_inv[None]
+    )
+    p3 = mul(lzk, sub(z_z, one))
 
     # lookup constraints at zeta
     one_pl = add(one, beta_l)  # 1 + beta_l
@@ -386,7 +407,10 @@ def verify(
         gate,
         add(
             mul(alpha_pows[ALPHA_PERM], p2),
-            mul(alpha_pows[ALPHA_PERM + 1], p1),
+            add(
+                mul(alpha_pows[ALPHA_PERM + 1], p1),
+                mul(alpha_pows[ALPHA_PERM + 2], p3),
+            ),
         ),
     )
     lhs = add(

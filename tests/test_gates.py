@@ -1,4 +1,9 @@
-"""Kimchi custom gates: poseidon + complete_add circuits, host and device."""
+"""Kimchi custom gates: poseidon + complete_add circuits, host and device.
+
+The canonical device-verify circuit (16-row domain, npub=1) uses a 1-row
+(5-round) poseidon span so everything fits beside the 3 zk rows; the full
+55-round permutation is proven host-side on a 32-row domain.
+"""
 
 import random
 
@@ -14,16 +19,18 @@ from mina_bridge_tpu.kimchi.circuit import COLUMNS, CircuitBuilder
 
 FS = PALLAS.scalar
 
+POS_ROWS = 1  # poseidon rows in the canonical 16-row circuit (5 rounds)
 
-def build_gate_circuit():
-    """1 public input + 1 poseidon permutation + 1 complete_add row."""
-    b = CircuitBuilder(FS, 4)  # 16 rows (canonical test domain)
+
+def build_gate_circuit(log_n=4, pos_rows=POS_ROWS):
+    """1 public input + a poseidon span + 1 complete_add row."""
+    b = CircuitBuilder(FS, log_n)
     pub = b.public_input()
-    pos_in, pos_out, pos_rows = b.poseidon_permutation()
+    pos_in, pos_out, pos_rows_idx = b.poseidon_permutation(pos_rows)
     add_cells = b.complete_add()
     # bind the poseidon output lane 0 to the public input
     b.connect([pos_out[0], pub])
-    return b, pub, pos_in, pos_out, pos_rows, add_cells
+    return b, pub, pos_in, pos_out, pos_rows_idx, add_cells
 
 
 def fill_witness(b, circuit, pos_rows, add_cells, state0, P, Q):
@@ -33,9 +40,10 @@ def fill_witness(b, circuit, pos_rows, add_cells, state0, P, Q):
     w = [[0] * n for _ in range(COLUMNS)]
 
     # poseidon rows: states 5r..5r+4 in w[0..14]; output row gets final
+    nrounds = (len(pos_rows) - 1) * G.ROUNDS_PER_ROW
     states = [list(state0)]
-    for _ in range(len(ps.round_constants)):
-        states.append(poseidon.host_permute_round(ps, states[-1], len(states) - 1))
+    for r in range(nrounds):
+        states.append(poseidon.host_permute_round(ps, states[-1], r))
     for ridx, row in enumerate(pos_rows[:-1]):
         for i in range(G.ROUNDS_PER_ROW):
             st = states[5 * ridx + i]
@@ -89,9 +97,12 @@ def gate_world():
 def test_gate_witness_satisfies(gate_world):
     rng, circuit, w, public, state0, P, Q, out = gate_world
     circuit.check_witness(w, public)
-    # poseidon output matches the sponge permutation
+    # poseidon output matches 5 rounds of the host permutation
     ps = poseidon_spec(FS.name)
-    assert public[0] == poseidon.host_permute(ps, state0)[0]
+    st = list(state0)
+    for r in range(POS_ROWS * G.ROUNDS_PER_ROW):
+        st = poseidon.host_permute_round(ps, st, r)
+    assert public[0] == st[0]
     # complete_add output matches the host curve law
     x3, y3, inf = out
     want = hc.add(VESTA, P, Q)
@@ -103,9 +114,29 @@ def test_gate_witness_satisfies(gate_world):
 def test_gate_witness_rejects_bad(gate_world):
     rng, circuit, w, public, *_ = gate_world
     bad = [col[:] for col in w]
-    bad[4][2] = (bad[4][2] + 1) % FS.p  # corrupt a poseidon intermediate
+    bad[4][1] = (bad[4][1] + 1) % FS.p  # corrupt a poseidon intermediate
     with pytest.raises(AssertionError):
         circuit.check_witness(bad, public)
+
+
+def test_full_poseidon_permutation_host():
+    """All 55 rounds (11 gate rows) on a 32-row domain, host prove/verify."""
+    rng = random.Random(0xF011)
+    b, pub, pos_in, pos_out, pos_rows, add_cells = build_gate_circuit(
+        log_n=5, pos_rows=None
+    )
+    circuit = b.build()
+    state0 = [rng.randrange(FS.p) for _ in range(3)]
+    P = hc.mul(VESTA, 7, VESTA.generator)
+    Q = hc.mul(VESTA, 9, VESTA.generator)
+    w, public, _ = fill_witness(b, circuit, pos_rows, add_cells, state0, P, Q)
+    circuit.check_witness(w, public)
+    ps = poseidon_spec(FS.name)
+    assert public[0] == poseidon.host_permute(ps, state0)[0]
+    g, h = srs_points_host("pallas", circuit.n)
+    index = prover_host.setup(circuit, PALLAS, g, h)
+    proof = prover_host.prove(index, circuit, w, public, g, h, rng)
+    assert prover_host.host_verify(index, proof, g, h)
 
 
 def test_gate_prove_host_verify(gate_world):
