@@ -121,10 +121,9 @@ class TpuVerifierService:
     ) -> None:
         from ..pickles import verifier as pickles
 
-        _, _, dindex, _, _ = pickles.block_setup(self.block_log_n)
-        dproofs = pickles.device_proofs([tip_proof_host])
+        dtips = pickles.device_proofs([tip_proof_host])
         result = vs.verify_proof_of_state(
-            pub, proof, dindex, dproofs, rand_weights
+            pub, proof, self.block_log_n, dtips, rand_weights
         )
         if not result.ok:
             raise ValueError(f"state proof rejected: {result.reason}")

@@ -54,10 +54,25 @@ def _keccak_f(a: list[list[int]]) -> None:
 
 
 def keccak256(data: bytes) -> bytes:
+    """Dispatch: native C++ (native/src/keccak.cpp) when available, else
+    the pure-Python reference below (`keccak256_py`)."""
+    from ..native import keccak256 as native_keccak256, available
+
+    if available():
+        return native_keccak256(data)
+    return keccak256_py(data)
+
+
+def keccak256_py(data: bytes) -> bytes:
     rate = 136  # bytes (1088-bit rate for 256-bit output)
     a = [[0] * 5 for _ in range(5)]
-    # pad: 0x01 ... 0x80 (Keccak padding, not SHA3's 0x06)
-    padded = data + b"\x01" + b"\x00" * ((-len(data) - 2) % rate) + b"\x80"
+    # pad10*1: 0x01 ... 0x80 (Keccak padding, not SHA3's 0x06); when only
+    # one byte of space remains, both marker bits share it (0x81)
+    q = rate - (len(data) % rate)
+    if q == 1:
+        padded = data + b"\x81"
+    else:
+        padded = data + b"\x01" + b"\x00" * (q - 2) + b"\x80"
     for off in range(0, len(padded), rate):
         block = padded[off : off + rate]
         for i in range(rate // 8):

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..fields.params import NLIMBS, int_to_limbs, limbs_to_int
 from ..kimchi import verifier as kv
+from ..pickles import verifier as pickles
 from . import mina_types as mt
 from . import proof_model as pm
 from .consensus import candidate_wins
@@ -55,8 +56,8 @@ class StateVerificationResult:
 def verify_proof_of_state(
     pub: pm.MinaStatePubInputs,
     proof: pm.MinaStateProof,
-    block_index: "kv.DeviceVerifierIndex",
-    tip_proof_device: "kv.DeviceProofs",
+    block_log_n: int,
+    tip_proof_device: "pickles.DeviceTips",
     rand_weights,
 ) -> StateVerificationResult:
     n = pm.BRIDGE_TRANSITION_FRONTIER_LEN
@@ -105,24 +106,27 @@ def verify_proof_of_state(
     if not candidate_wins(tip_cs, cand_cs):
         return StateVerificationResult(False, "consensus: candidate not better")
 
-    # -- 3. tip proof (Pickles stand-in) --
-    pub_dev = np.asarray(tip_proof_device.public)
+    # -- 3. tip proof (Pickles step/wrap + accumulator decider) --
+    pub_dev = np.asarray(tip_proof_device.wrap.public)
     claimed = limbs_to_int(pub_dev[0, 0])
-    if claimed != cand_hashes[-1]:
+    if claimed != cand_hashes[-1]:  # Fp embeds exactly in Fq (q > p)
         return StateVerificationResult(False, "tip proof binds wrong hash")
     tip_proof_device, rand_weights = _pad_batch(tip_proof_device, rand_weights)
-    ok = kv.verify(block_index, tip_proof_device, rand_weights)
+    ok = pickles.batch_verify_tips(
+        tip_proof_device, rand_weights, log_n=block_log_n
+    )
     if not bool(ok):
         return StateVerificationResult(False, "tip proof invalid")
     return StateVerificationResult(True)
 
 
-def _pad_batch(proofs: "kv.DeviceProofs", rw, min_batch: int = 2):
-    """Pad a proof batch to >= min_batch by duplication: keeps the verify
-    graph at one canonical compiled shape (compile-cache friendly)."""
-    import dataclasses as _dc
+def _pad_batch(proofs, rw, min_batch: int = 2):
+    """Pad a proof batch (any pytree whose leaves lead with B) to
+    >= min_batch by duplication: keeps the verify graph at one canonical
+    compiled shape (compile-cache friendly)."""
+    import jax
 
-    B = proofs.z1.shape[0]
+    B = rw.shape[0]
     if B >= min_batch:
         return proofs, rw
     reps = -(-min_batch // B)
@@ -130,10 +134,7 @@ def _pad_batch(proofs: "kv.DeviceProofs", rw, min_batch: int = 2):
     def tile(x):
         return jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:min_batch]
 
-    return (
-        kv.DeviceProofs(**{k: tile(v) for k, v in _dc.asdict(proofs).items()}),
-        tile(rw),
-    )
+    return jax.tree.map(tile, proofs), tile(rw)
 
 
 def verify_proof_of_account(
@@ -204,8 +205,8 @@ def verify_accounts_batch(
 def verify_states_batch(
     pubs: list[pm.MinaStatePubInputs],
     proofs: list[pm.MinaStateProof],
-    block_index: "kv.DeviceVerifierIndex",
-    tip_proofs_device: "kv.DeviceProofs",
+    block_log_n: int,
+    tip_proofs_device: "pickles.DeviceTips",
     rand_weights,
 ) -> list[StateVerificationResult]:
     """Verify many Proof-of-States at once: all 17*B protocol-state hashes
@@ -283,7 +284,9 @@ def verify_states_batch(
         ):
             results[b] = StateVerificationResult(False, "consensus: not better")
         else:
-            claimed = limbs_to_int(np.asarray(tip_proofs_device.public)[b, 0])
+            claimed = limbs_to_int(
+                np.asarray(tip_proofs_device.wrap.public)[b, 0]
+            )
             if claimed != cand[-1]:
                 results[b] = StateVerificationResult(
                     False, "tip proof binds wrong hash"
@@ -292,7 +295,7 @@ def verify_states_batch(
     # one batched tip verification (single MSM for the whole batch)
     if all(r.ok for r in results):
         tp, rw = _pad_batch(tip_proofs_device, rand_weights)
-        if not bool(kv.verify(block_index, tp, rw)):
+        if not bool(pickles.batch_verify_tips(tp, rw, log_n=block_log_n)):
             return [
                 StateVerificationResult(False, "tip proof batch invalid")
                 for _ in range(B)

@@ -110,12 +110,14 @@ def _rand_weights(batch: int):
     from .fields.params import NLIMBS, int_to_limbs
 
     rng = random.Random()
+    # (B, 3, NLIMBS): (w, rho) for the wrap opening combine + the
+    # step-accumulator decider weight (pickles.batch_verify_tips)
     return jnp.asarray(
         np.array(
             [
                 [
-                    int_to_limbs(rng.randrange(PALLAS.scalar.p), NLIMBS),
-                    int_to_limbs(rng.randrange(PALLAS.scalar.p), NLIMBS),
+                    int_to_limbs(rng.randrange(PALLAS.scalar.p), NLIMBS)
+                    for _ in range(3)
                 ]
                 for _ in range(batch)
             ],

@@ -173,6 +173,10 @@ class HostOpeningProof:
     z1: int
     z2: int
     sg: tuple[int, int]
+    # The folding challenges (prover-side convenience; any verifier
+    # re-derives them from the transcript). (chals, sg) is the Pickles
+    # accumulator this opening leaves behind (README.md:534-544).
+    chals: list = dataclasses.field(default_factory=list)
 
 
 def host_commit(
@@ -329,7 +333,9 @@ class HostIpaProver:
         c = host_endo_chal(curve, sponge)
         z1 = (d + c * a0) % ps
         z2 = (s_d + c * r_acc) % ps
-        proof = HostOpeningProof(lr=lr, delta=delta, z1=z1, z2=z2, sg=sg)
+        proof = HostOpeningProof(
+            lr=lr, delta=delta, z1=z1, z2=z2, sg=sg, chals=list(chals)
+        )
         return proof, {
             "v": v,
             "u": u,
@@ -413,6 +419,56 @@ def host_verify(
 # ---------------------------------------------------------------------------
 # Device batched verifier
 # ---------------------------------------------------------------------------
+
+def aff_to_rep(pts: jax.Array) -> jax.Array:
+    """(..., 2, NLIMBS) canonical affine -> (..., 3, REP_LIMBS) projective."""
+    x = ffl.from_canon(pts[..., 0, :])
+    y = ffl.from_canon(pts[..., 1, :])
+    # (0,0) encodes the identity (not on the curve, so unambiguous)
+    inf = jnp.all(pts == 0, axis=(-1, -2))
+    z = jnp.zeros_like(x).at[..., 0].set(jnp.where(inf, 0, 1))
+    return jnp.stack([x, y, z], axis=-2)
+
+
+def device_s_vector(spec, chals: list[jax.Array], n: int) -> jax.Array:
+    """Coefficient vector of h(X) = prod_i (1 + chals[k-1-i] X^(2^i)):
+    (B, n, REP) built in k doubling steps from (B, L) REP challenges."""
+    k = len(chals)
+    assert 1 << k == n
+    B = chals[0].shape[0]
+    s = jnp.zeros((B, n, ffl.REP_LIMBS), jnp.int32).at[:, 0, 0].set(1)
+    for r in range(k):
+        blk = ffl.mul(spec, s[:, : 1 << r], chals[k - 1 - r][:, None])
+        s = s.at[:, 1 << r : 1 << (r + 1)].set(blk)
+    return s
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def batch_decide(
+    curve: CurveSpec,
+    g_affine: jax.Array,  # (n, 2, NLIMBS)
+    acc_chals: jax.Array,  # (B, k, NLIMBS) canonical
+    acc_sg: jax.Array,  # (B, 2, NLIMBS)
+    weights: jax.Array,  # (B, NLIMBS) verifier randomness
+) -> jax.Array:
+    """The Pickles 'decider': check B deferred accumulator claims
+    sg_b == <s(chals_b), G> with ONE random-linear-combination MSM
+    (sum_b w_b (sg_b - <s_b, G>) == identity). This is the step-side
+    check the wrap circuit defers (reference README.md:534-544)."""
+    fs = curve.scalar
+    B, k = acc_chals.shape[:2]
+    n = g_affine.shape[0]
+    chals = [ffl.from_canon(acc_chals[:, i]) for i in range(k)]
+    s = device_s_vector(fs, chals, n)
+    w = ffl.from_canon(weights)
+    sc_g = ffl.canon(
+        fs,
+        _sum_over_batch(fs, ffl.neg(fs, ffl.mul(fs, w[:, None], s)), axis=0),
+    )  # (n, NLIMBS)
+    points = jnp.concatenate([aff_to_rep(g_affine), aff_to_rep(acc_sg)], axis=0)
+    scalars = jnp.concatenate([sc_g, ffl.canon(fs, w)], axis=0)
+    result = msm_mod.msm(curve, scalars, points)
+    return jc.is_identity(curve, result)
 
 @dataclasses.dataclass
 class DeviceOpenings:
@@ -539,10 +595,7 @@ def batch_verify(
         b0 = ffl.add(fs, b0, ffl.mul(fs, u_pows[j], hval[:, j]))
 
     # s vector (B, n)
-    s = jnp.zeros((B, n, ffl.REP_LIMBS), jnp.int32).at[:, 0, 0].set(1)
-    for r in range(k):
-        blk = ffl.mul(fs, s[:, : 1 << r], chals[k - 1 - r][:, None])
-        s = s.at[:, 1 << r : 1 << (r + 1)].set(blk)
+    s = device_s_vector(fs, chals, n)
 
     w = ffl.from_canon(rand_weights[:, 0])
     rho = ffl.from_canon(rand_weights[:, 1])
@@ -570,14 +623,6 @@ def batch_verify(
     )  # (B, m, 20)
 
     # --- point assembly ---
-    def aff_to_rep(pts):  # (..., 2, NLIMBS) canonical affine -> projective REP
-        x = ffl.from_canon(pts[..., 0, :])
-        y = ffl.from_canon(pts[..., 1, :])
-        # (0,0) encodes the identity (not on the curve, so unambiguous)
-        inf = jnp.all(pts == 0, axis=(-1, -2))
-        z = jnp.zeros_like(x).at[..., 0].set(jnp.where(inf, 0, 1))
-        return jnp.stack([x, y, z], axis=-2)
-
     Jx, Jy = blinding_base_J(curve)
     J_aff = np.stack([int_to_limbs(Jx, NLIMBS), int_to_limbs(Jy, NLIMBS)])
 

@@ -102,6 +102,16 @@ class HostProof:
     evals: list  # N_OPENED x 2 scalar ints, OPEN_ORDER
     opening: ipa.HostOpeningProof
     public: list[int]
+    # Pickles recursion accumulators this proof carries: [(chals, sg)].
+    # Each is a previous proof's IPA folding challenges + its `sg`
+    # commitment (reference README.md:534-544); the verifier re-opens
+    # b_poly(chals, .) against sg inside the one batched MSM, which
+    # decides the deferred claim sg == <s(chals), G>.
+    prev_challenges: list = dataclasses.field(default_factory=list)
+
+    def accumulator(self) -> tuple[list[int], tuple[int, int]]:
+        """This proof's own accumulator (chals, sg) for the next proof."""
+        return (self.opening.chals, self.opening.sg)
 
 
 def setup(circuit: Circuit, curve: CurveSpec, g: list, h) -> VerifierIndexHost:
@@ -176,6 +186,16 @@ def opened_comms(index: VerifierIndexHost, w_comm, z_comm, lookup_comms, t_comm)
     )
 
 
+def _absorb_prev_challenges(sponge, curve, prev_challenges) -> None:
+    """Absorb carried accumulators right after the index digest (kimchi's
+    oracles() absorbs RecursionChallenge commitments first; we also bind
+    the challenge scalars themselves, see PARITY D7)."""
+    for chals, sg in prev_challenges:
+        for ch in chals:
+            _absorb_scalar(sponge, curve, ch)
+        _absorb_point(sponge, sg)
+
+
 def prove(
     index: VerifierIndexHost,
     circuit: Circuit,
@@ -184,6 +204,7 @@ def prove(
     g: list,
     h,
     rng,
+    prev_challenges=(),
 ) -> HostProof:
     curve = index.curve
     dom = circuit.domain
@@ -212,6 +233,7 @@ def prove(
 
     sponge = HostSponge(poseidon_spec(ipa.sponge_for(curve)))
     sponge.absorb(index.digest())
+    _absorb_prev_challenges(sponge, curve, prev_challenges)
     for x in public:
         _absorb_scalar(sponge, curve, x)
     for pt in w_comm:
@@ -421,11 +443,22 @@ def prove(
     v = ipa.host_endo_chal(curve, sponge)
     u = ipa.host_endo_chal(curve, sponge)
 
+    # carried accumulators open first in the v-combine: b_poly(chals, .)
+    # against sg, blind 0 (the evals are verifier-computed, not absorbed)
+    prev_polys = [ipa.host_s_vector(chals, ps) for chals, _ in prev_challenges]
+    prev_comms = [sg for _, sg in prev_challenges]
     prover = ipa.HostIpaProver(curve, g, h, rng)
     opening, _ = prover.open(
-        polys, blinds, comms, [zeta, zeta_w], sponge=sponge, v=v, u=u
+        prev_polys + polys,
+        [0] * len(prev_polys) + blinds,
+        prev_comms + comms,
+        [zeta, zeta_w],
+        sponge=sponge,
+        v=v,
+        u=u,
     )
     return HostProof(
+        prev_challenges=[(list(c), sg) for c, sg in prev_challenges],
         w_comm=w_comm,
         z_comm=z_comm,
         h1_comm=h1_comm,
@@ -450,6 +483,7 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
 
     sponge = HostSponge(poseidon_spec(ipa.sponge_for(curve)))
     sponge.absorb(index.digest())
+    _absorb_prev_challenges(sponge, curve, proof.prev_challenges)
     for x in proof.public:
         _absorb_scalar(sponge, curve, x)
     for pt in proof.w_comm:
@@ -558,13 +592,24 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
         (proof.h1_comm, proof.h2_comm, proof.zl_comm),
         proof.t_comm,
     )
+    # verifier-computed rows for the carried accumulators: opening
+    # b_poly(chals, .) against sg at a random zeta decides the deferred
+    # claim sg == <s(chals), G> (Schwartz-Zippel over the binding comm)
+    prev_comms = [sg for _, sg in proof.prev_challenges]
+    prev_evals = [
+        [
+            ipa.host_b_poly(chals, zeta, ps),
+            ipa.host_b_poly(chals, zeta_w, ps),
+        ]
+        for chals, _ in proof.prev_challenges
+    ]
     return ipa.host_verify(
         index.curve,
         g,
         h,
-        comms,
+        prev_comms + comms,
         [zeta, zeta_w],
-        proof.evals,
+        prev_evals + proof.evals,
         proof.opening,
         sponge=sponge,
         v=v,

@@ -132,6 +132,7 @@ class DeviceVerifierIndex:
     data_fields=[
         "public", "w_comm", "z_comm", "h1_comm", "h2_comm", "zl_comm",
         "t_comm", "evals", "lr", "delta", "sg", "z1", "z2",
+        "prev_chals", "prev_sg",
     ],
     meta_fields=[],
 )
@@ -152,6 +153,9 @@ class DeviceProofs:
     sg: jax.Array  # (B, 2, NLIMBS)
     z1: jax.Array  # (B, NLIMBS)
     z2: jax.Array  # (B, NLIMBS)
+    # Pickles recursion accumulators carried by each proof (R may be 0):
+    prev_chals: jax.Array  # (B, R, k, NLIMBS)
+    prev_sg: jax.Array  # (B, R, 2, NLIMBS)
 
     @classmethod
     def from_host(cls, proofs: list[HostProof]) -> "DeviceProofs":
@@ -163,7 +167,21 @@ class DeviceProofs:
         def sc(x):
             return int_to_limbs(x, NLIMBS)
 
+        R = len(proofs[0].prev_challenges)
+        assert all(len(p.prev_challenges) == R for p in proofs), (
+            "a batch must carry a uniform accumulator count (pad with the "
+            "dummy accumulator chals=0, sg=g[0] at proving time)"
+        )
+        kk = len(proofs[0].prev_challenges[0][0]) if R else 1
+        prev_chals = np.zeros((len(proofs), R, kk, NLIMBS), np.int32)
+        prev_sg = np.zeros((len(proofs), R, 2, NLIMBS), np.int32)
+        for b, p in enumerate(proofs):
+            for r, (chals, sgpt) in enumerate(p.prev_challenges):
+                prev_chals[b, r] = np.stack([sc(x) for x in chals])
+                prev_sg[b, r] = aff(sgpt)
         return cls(
+            prev_chals=jnp.asarray(prev_chals),
+            prev_sg=jnp.asarray(prev_sg),
             public=jnp.asarray(
                 np.stack([np.stack([sc(x) for x in p.public]) for p in proofs])
             ),
@@ -223,7 +241,17 @@ def verify(
     mask128 = jnp.asarray(ipa._MASK128)
 
     # ---- one scheduled transcript for all oracles ----
+    R = proofs.prev_chals.shape[1]
+    kk = proofs.prev_chals.shape[2]
     ops: list = [("absorb", jnp.asarray(index.digest_limbs))]
+    for r in range(R):  # carried accumulators, right after the digest
+        for j in range(kk):
+            lo, hi = ipa._split_128_device(proofs.prev_chals[:, r, j])
+            ops += [("absorb", lo), ("absorb", hi)]
+        ops += [
+            ("absorb", proofs.prev_sg[:, r, 0]),
+            ("absorb", proofs.prev_sg[:, r, 1]),
+        ]
     for i in range(npub):
         lo, hi = ipa._split_128_device(proofs.public[:, i])
         ops += [("absorb", lo), ("absorb", hi)]
@@ -437,10 +465,11 @@ def verify(
     idx_comms = jnp.broadcast_to(
         jnp.asarray(index.index_comms)[None], (B, n_idx, 2, NLIMBS)
     )
-    # order must match prover_host.opened_comms: w, z, sigma+coeff+sel
-    # (index), h1, h2, zl, table+qlk (index), t
+    # order must match prover_host.opened_comms: [prev accumulators], w,
+    # z, sigma+coeff+sel (index), h1, h2, zl, table+qlk (index), t
     commitments = jnp.concatenate(
-        [
+        ([proofs.prev_sg] if R else [])
+        + [
             proofs.w_comm,
             proofs.z_comm[:, None],
             idx_comms[:, :-2],
@@ -451,10 +480,30 @@ def verify(
             proofs.t_comm,
         ],
         axis=1,
-    )  # (B, 53, 2, NLIMBS)
+    )  # (B, R + 53, 2, NLIMBS)
+    evals_all = proofs.evals
+    if R:
+        # verifier-computed accumulator rows: b_poly(chals, .) at
+        # (zeta, zeta*omega); opening them against sg decides the
+        # deferred claim sg == <s(chals), G> (README.md:534-544)
+        ch = ffl.from_canon(proofs.prev_chals)  # (B, R, kk, L)
+        pts = jnp.stack([zeta, zeta_w], axis=1)  # (B, 2, L)
+        xp = jnp.broadcast_to(
+            pts[:, None], (B, R) + pts.shape[1:]
+        ).astype(jnp.int32)
+        one_p = jnp.broadcast_to(ffl.ones(fs), xp.shape).astype(jnp.int32)
+        bval = one_p
+        for i in range(kk):
+            term = add(one_p, mul(ch[:, :, kk - 1 - i][:, :, None], xp))
+            bval = mul(bval, term)
+            if i + 1 < kk:
+                xp = mul(xp, xp)
+        evals_all = jnp.concatenate(
+            [ffl.canon(fs, bval), proofs.evals], axis=1
+        )
     openings = ipa.DeviceOpenings(
         commitments=commitments,
-        evals=proofs.evals,
+        evals=evals_all,
         eval_points=eval_points,
         lr=proofs.lr,
         delta=proofs.delta,

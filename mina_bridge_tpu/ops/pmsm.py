@@ -23,11 +23,19 @@ import jax.numpy as jnp
 
 from ..curves.host import CurveSpec
 from ..curves import pallas_kernels as pk
+from ..fields import rows
 from ..fields.ffl import REP_LIMBS
 from ..fields.params import LIMB_BITS, NLIMBS
 
-NBUCKETS = 1 << LIMB_BITS
 W = NLIMBS  # number of windows
+# Signed-digit recoding: 13-bit digits d in [0, 8191] are recoded to
+# d' in [-4096, 4096] with a carry into the next window, and the point
+# is conditionally negated (y -> -y is free compared to a point add).
+# Buckets cover |d'| in [1, 4096] — half the unsigned range, halving the
+# suffix-scan/scatter work of the bucket phase.
+HALF = 1 << (LIMB_BITS - 1)  # 4096
+FULL = 1 << LIMB_BITS  # 8192
+NBUCKETS = HALF + 1  # buckets 0..4096; bucket 0 is junk (dropped)
 
 
 def _ident(c: CurveSpec, shape) -> jax.Array:
@@ -241,10 +249,30 @@ def msm_rows(c: CurveSpec, scalars: jax.Array, points_rows: jax.Array) -> jax.Ar
     Returns a single projective point in rows layout (3, L, 1).
     """
     N = scalars.shape[0]
-    digits = jnp.moveaxis(scalars, -1, 0)  # (W, N)
-    orders = jnp.argsort(digits, axis=-1)  # (W, N)
-    dig_sorted = jnp.take_along_axis(digits, orders, axis=-1)
+    digits = jnp.moveaxis(scalars, -1, 0)  # (W, N), unsigned in [0, 8191]
+
+    # signed-digit recoding: d + carry -> (mag, sign) with mag <= 4096.
+    # Scalars are canonical (< p < 2^255) so the top window never carries.
+    def recode(carry, d):
+        t = d + carry
+        neg = (t > HALF).astype(jnp.int32)
+        mag = jnp.where(neg != 0, FULL - t, t)
+        return neg, (mag, neg)
+
+    _, (mags, negs) = jax.lax.scan(
+        recode, jnp.zeros((N,), jnp.int32), digits
+    )
+
+    orders = jnp.argsort(mags, axis=-1)  # (W, N)
+    dig_sorted = jnp.take_along_axis(mags, orders, axis=-1)
+    neg_sorted = jnp.take_along_axis(negs, orders, axis=-1)  # (W, N)
     pts_sorted = points_rows[:, :, orders]  # (3, L, W, N)
+    # conditional negation rides the (lazy, loose-bounds) y rows: -y is a
+    # rows.sub_r from zero, masked per (window, element)
+    y = pts_sorted[1].reshape(REP_LIMBS, W * N)
+    y_neg = rows.sub_r(c.base, jnp.zeros_like(y), y)
+    y_sel = jnp.where(neg_sorted.reshape(W * N) != 0, y_neg, y)
+    pts_sorted = pts_sorted.at[1].set(y_sel.reshape(REP_LIMBS, W, N))
 
     G = 4096
     while N % G:

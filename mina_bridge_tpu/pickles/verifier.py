@@ -1,62 +1,204 @@
-"""Pickles-layer tip-proof verification (block-verifier stand-in).
+"""Pickles-layer tip-proof verification: step/wrap accumulator pipeline.
 
 In the reference, the candidate tip's Pickles proof is verified by
 OpenMina's block verifier (reference README.md:306-313, `mina-tree`):
 a Step/Wrap recursive Kimchi proof whose public input is the state hash.
-Here the same role is played by our kimchi-style proof system
-(kimchi/): `block_circuit()` is a circuit whose single public input IS
-the tip state hash, `prove_tip` produces the proof (host prover) and
-`batch_verify_tips` verifies many tips at once on TPU. The recursive
-accumulator plumbing (absorbing the previous proof's `sg`, README.md
-534-544) rides on the IPA layer's sg handling.
+Pickles' two-curve recursion (README.md:477-604):
 
-Swapping in the real Pickles step/wrap constraint system is a
-VerifierIndex data change plus gate evaluators — the verification
-pipeline (oracles -> linearization -> one batched MSM) is this one.
+  * STEP proofs live on Vesta (scalar field Fp, the state-hash field;
+    real domain 2^18, README.md:485);
+  * WRAP proofs live on Pallas (scalar field Fq; real domain 2^17,
+    README.md:486) and carry the recursion accumulators: the previous
+    opening's folding challenges + `sg` commitment (README.md:534-544).
+
+TPU-native pipeline implemented here:
+
+  1. `prove_tip` produces a real step proof on Vesta binding the state
+     hash, extracts its IPA accumulator (chals, sg), then produces a
+     wrap proof on Pallas that carries up to 2 pallas-side accumulators
+     (`prev_challenges`, padded with the dummy accumulator) — mirroring
+     pickles' max_proofs_verified = 2.
+  2. `batch_verify_tips` verifies B tips with TWO device programs:
+     (a) one batched kimchi verification of the wrap proofs — the
+         carried accumulators are re-opened inside the same single MSM
+         (kimchi/verifier.py); and
+     (b) one batched MSM "decider" for the step-side (Vesta)
+         accumulators: sum_b w_b (sg_b - <s(chals_b), G>) == identity
+         (commitment/ipa.py::batch_decide).
+
+Deviation (PARITY D7): the wrap circuit does not yet re-verify the step
+proof's scalar checks in-circuit (that needs the full pickles
+deferred-values gadget set); the step accumulator — the expensive,
+MSM-shaped part of that recursion — is what the decider checks here.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import random
 
-from ..curves import PALLAS
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..commitment import ipa
+from ..curves import PALLAS, VESTA
 from ..curves.srs import srs_points_host
+from ..fields.params import NLIMBS, int_to_limbs
 from ..kimchi import prover_host, verifier as kv
 from ..kimchi.circuit import COLUMNS, CircuitBuilder
 
 BLOCK_LOG_N = 4  # fixture domain; real Wrap domain is 2^17 (README.md:486)
+STEP_LOG_N = 4  # fixture domain; real Step domain is 2^18 (README.md:485)
+MAX_PROOFS_VERIFIED = 2  # pickles' per-proof accumulator arity
 
 
 @functools.cache
-def block_setup(log_n: int = BLOCK_LOG_N):
-    """(circuit, host index, device index, g, h) for the block circuit."""
-    curve = PALLAS
+def _setup(curve_name: str, log_n: int):
+    """(circuit, host index, device index, g, h) for a hash-binding
+    circuit over the named curve: one public input = the state hash."""
+    curve = {"pallas": PALLAS, "vesta": VESTA}[curve_name]
     b = CircuitBuilder(curve.scalar, log_n)
     b.public_input()  # the state hash
     circuit = b.build()
-    g, h = srs_points_host("pallas", circuit.n)
+    g, h = srs_points_host(curve_name, circuit.n)
     index = prover_host.setup(circuit, curve, g, h)
     dindex = kv.DeviceVerifierIndex.from_host(index, g, h)
     return circuit, index, dindex, g, h
 
 
-def prove_tip(state_hash: int, rng=None, log_n: int = BLOCK_LOG_N):
-    """Produce a tip proof binding `state_hash` as the public input."""
-    circuit, index, _, g, h = block_setup(log_n)
+def block_setup(log_n: int = BLOCK_LOG_N):
+    """Wrap-side (Pallas) setup — the proof the bridge actually receives."""
+    return _setup("pallas", log_n)
+
+
+def step_setup(log_n: int = STEP_LOG_N):
+    """Step-side (Vesta) setup."""
+    return _setup("vesta", log_n)
+
+
+def dummy_accumulator(curve_name: str = "pallas", log_n: int = BLOCK_LOG_N):
+    """The padding accumulator: chals = 0 => s = (1,0,..,0) => sg = g[0]."""
+    _, _, _, g, _ = _setup(curve_name, log_n)
+    return ([0] * log_n, g[0])
+
+
+@dataclasses.dataclass
+class TipProof:
+    """A verified-tip claim: the wrap proof + the step-side accumulator."""
+
+    wrap: prover_host.HostProof  # pallas proof, carries R=2 accumulators
+    step_acc_chals: list  # Fp folding challenges of the step opening
+    step_acc_sg: tuple  # Vesta point: the step opening's `sg`
+
+    def accumulator(self):
+        """Pallas-side accumulator left behind by this tip's wrap proof
+        (carried by the NEXT tip's wrap proof — the bridge chain axis)."""
+        return self.wrap.accumulator()
+
+
+def prove_tip(
+    state_hash: int,
+    rng=None,
+    log_n: int = BLOCK_LOG_N,
+    prev_wrap_accs=(),
+    step_log_n: int | None = None,
+) -> TipProof:
+    """Produce a tip proof binding `state_hash`: a real Vesta step proof
+    (whose accumulator is deferred to the decider) wrapped by a Pallas
+    proof carrying up to MAX_PROOFS_VERIFIED pallas-side accumulators."""
     rng = rng or random.Random(0xB10C)
-    n = circuit.n
+    step_log_n = log_n if step_log_n is None else step_log_n
+
+    # --- step proof on Vesta (scalar field Fp = the state-hash field) ---
+    s_circuit, s_index, _, s_g, s_h = step_setup(step_log_n)
+    sp = VESTA.scalar.p
+    n = s_circuit.n
     w = [[0] * n for _ in range(COLUMNS)]
-    w[0][0] = state_hash % PALLAS.scalar.p
-    return prover_host.prove(
-        index, circuit, w, [state_hash % PALLAS.scalar.p], g, h, rng
+    w[0][0] = state_hash % sp
+    step_proof = prover_host.prove(
+        s_index, s_circuit, w, [state_hash % sp], s_g, s_h, rng
+    )
+    step_chals, step_sg = step_proof.accumulator()
+
+    # --- wrap proof on Pallas carrying the pallas-side accumulator chain ---
+    w_circuit, w_index, _, w_g, w_h = block_setup(log_n)
+    wp = PALLAS.scalar.p
+    accs = list(prev_wrap_accs)[:MAX_PROOFS_VERIFIED]
+    while len(accs) < MAX_PROOFS_VERIFIED:
+        accs.append(dummy_accumulator("pallas", log_n))
+    n = w_circuit.n
+    w = [[0] * n for _ in range(COLUMNS)]
+    w[0][0] = state_hash % wp
+    wrap_proof = prover_host.prove(
+        w_index, w_circuit, w, [state_hash % wp], w_g, w_h, rng,
+        prev_challenges=accs,
+    )
+    return TipProof(
+        wrap=wrap_proof, step_acc_chals=step_chals, step_acc_sg=step_sg
     )
 
 
-def device_proofs(proofs) -> "kv.DeviceProofs":
-    return kv.DeviceProofs.from_host(proofs)
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["wrap", "acc_chals", "acc_sg"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class DeviceTips:
+    """B stacked tip proofs on device."""
+
+    wrap: kv.DeviceProofs
+    acc_chals: jax.Array  # (B, k, NLIMBS) step accumulator challenges
+    acc_sg: jax.Array  # (B, 2, NLIMBS) step accumulator commitments
+
+    @classmethod
+    def from_host(cls, tips: list[TipProof]) -> "DeviceTips":
+        def aff(pt):
+            return np.stack(
+                [int_to_limbs(pt[0], NLIMBS), int_to_limbs(pt[1], NLIMBS)]
+            )
+
+        return cls(
+            wrap=kv.DeviceProofs.from_host([t.wrap for t in tips]),
+            acc_chals=jnp.asarray(
+                np.stack(
+                    [
+                        np.stack([int_to_limbs(c, NLIMBS) for c in t.step_acc_chals])
+                        for t in tips
+                    ]
+                )
+            ),
+            acc_sg=jnp.asarray(np.stack([aff(t.step_acc_sg) for t in tips])),
+        )
 
 
-def batch_verify_tips(dproofs: "kv.DeviceProofs", rand_weights, log_n: int = BLOCK_LOG_N):
+def device_proofs(tips: list[TipProof]) -> DeviceTips:
+    return DeviceTips.from_host(tips)
+
+
+def batch_verify_tips(
+    dtips: DeviceTips,
+    rand_weights,
+    log_n: int = BLOCK_LOG_N,
+    step_log_n: int | None = None,
+):
+    """Verify B tips: one batched wrap verification (single MSM, carried
+    accumulators re-opened inside it) + one batched step-accumulator
+    decider MSM on the Vesta side.
+
+    rand_weights: (B, 3, NLIMBS) — (w, rho) for the wrap opening combine
+    plus the decider weight."""
+    step_log_n = log_n if step_log_n is None else step_log_n
     _, _, dindex, _, _ = block_setup(log_n)
-    return kv.verify(dindex, dproofs, rand_weights)
+    wrap_ok = kv.verify(dindex, dtips.wrap, rand_weights[:, :2])
+    _, _, sdindex, _, _ = step_setup(step_log_n)
+    acc_ok = ipa.batch_decide(
+        VESTA,
+        jnp.asarray(sdindex.g_affine),
+        dtips.acc_chals,
+        dtips.acc_sg,
+        rand_weights[:, 2],
+    )
+    return jnp.logical_and(wrap_ok, acc_ok)

@@ -52,7 +52,7 @@ def test_submit_state_e2e(world):
 
     cand_tip_hash = pm.host_full_state_hash(states[-1])
     tip_proof = pickles.prove_tip(cand_tip_hash)
-    rw = rand_weights(PALLAS, 1)
+    rw = rand_weights(PALLAS, 1, n=3)
     tip_bytes = mt.PROTOCOL_STATE.encode(tip_state)
 
     updated = sdk.update_bridge_chain(tip_bytes, tip_proof, rw)
@@ -93,9 +93,8 @@ def test_rejects_bad_state_proof(world):
     )
     pub.candidate_chain_state_hashes[3] ^= 1
     tip_proof = pickles.prove_tip(pub.candidate_chain_state_hashes[-1])
-    _, _, dindex, _, _ = pickles.block_setup()
     res = vs.verify_proof_of_state(
-        pub, proof, dindex, pickles.device_proofs([tip_proof]),
-        rand_weights(PALLAS, 1),
+        pub, proof, pickles.BLOCK_LOG_N, pickles.device_proofs([tip_proof]),
+        rand_weights(PALLAS, 1, n=3),
     )
     assert not res.ok and "state hash" in res.reason

@@ -25,14 +25,16 @@ def proven():
     return curve, circuit, index, g, h, proofs
 
 
-def rand_weights(curve, B, seed=7):
+def rand_weights(curve, B, seed=7, n=2):
+    """(B, n, NLIMBS) verifier randomness; tip flows need n=3 (w, rho +
+    the step-accumulator decider weight)."""
     rng = random.Random(seed)
     return jnp.asarray(
         np.array(
             [
                 [
-                    int_to_limbs(rng.randrange(curve.scalar.p), NLIMBS),
-                    int_to_limbs(rng.randrange(curve.scalar.p), NLIMBS),
+                    int_to_limbs(rng.randrange(curve.scalar.p), NLIMBS)
+                    for _ in range(n)
                 ]
                 for _ in range(B)
             ],

@@ -28,6 +28,21 @@ def test_msm_matches_host(rng):
     assert got == want
 
 
+def test_pmsm_matches_host(rng):
+    """The Pallas-path MSM (signed-digit Pippenger; bench.py's kernel) on
+    its CPU fallback path, vs the host oracle — includes a max-digit
+    scalar (p-1) to exercise the recoding carry chain."""
+    from mina_bridge_tpu.ops import pmsm
+
+    c, pts, ks, dp, dk = setup_case(rng, 32)
+    ks[1] = c.scalar.p - 1  # long carry chain in signed-digit recoding
+    dk = ff.from_ints(c.scalar, ks)
+    out = jax.jit(pmsm.msm, static_argnums=0)(c, dk, dp)
+    got = jc.to_affine_ints(c, out)[0]
+    want = hc.msm(c, ks, pts)
+    assert got == want
+
+
 def test_msm_sharded_matches_host(rng):
     c, pts, ks, dp, dk = setup_case(rng, 32)
     devs = jax.devices()
