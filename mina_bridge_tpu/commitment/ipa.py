@@ -10,11 +10,11 @@ in a batch to ONE random-linear-combination MSM over
 kimchi's `batch_verify`.
 
 Design notes (differences from the Rust stack, chosen for TPU):
-* The per-proof blinding group element U is t*J for a transcript scalar t
-  and a fixed independent base J (hash-to-curve of a domain tag at setup)
-  instead of per-proof hash-to-curve. Soundness is unchanged (J has
-  unknown dlog relation to G/H; t is public) and every U-term collapses
-  onto the single basis J, shrinking the MSM.
+* The per-proof blinding group element U = to_group(t) is kimchi's exact
+  SvdW group map of the transcript challenge (curves/groupmap.py). The
+  device never computes sqrt/Legendre: it recomputes the three x
+  candidates and validates host-supplied hints (root, non-squareness
+  witnesses, alpha) by squaring, so hints are untrusted.
 * Challenges are 128-bit (low bits of a base-field Poseidon squeeze),
   matching kimchi's challenge size.
 * The transcript is self-consistent between the host prover and the
@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..curves import groupmap as gm
 from ..curves import host as hc
 from ..curves import jaxcurve as jc
 from ..curves.host import CurveSpec
@@ -42,7 +43,6 @@ from ..hash.poseidon_params import poseidon_spec
 from ..ops import msm as msm_mod
 
 CHALLENGE_BITS = 128
-_J_TAG = b"mina_bridge_tpu:ipa:J:v1"
 
 
 # ---------------------------------------------------------------------------
@@ -52,27 +52,6 @@ _J_TAG = b"mina_bridge_tpu:ipa:J:v1"
 def sponge_for(curve: CurveSpec) -> str:
     """Name of the Poseidon instance over the curve's BASE field."""
     return curve.base.name
-
-
-def host_hash_to_curve(curve: CurveSpec, seed: bytes) -> tuple[int, int]:
-    """Deterministic setup-time hash-to-curve (host): try-and-increment."""
-    import hashlib
-
-    t = int.from_bytes(hashlib.sha256(seed).digest() * 2, "little") % curve.base.p
-    for i in range(1 << 16):
-        x = (t + i) % curve.base.p
-        rhs = (x * x * x + curve.b) % curve.base.p
-        y = fh.fsqrt(curve.base, rhs)
-        if y is not None:
-            if y > (curve.base.p - 1) // 2:
-                y = curve.base.p - y
-            return (x, y)
-    raise AssertionError("unreachable")
-
-
-@functools.cache
-def blinding_base_J(curve: CurveSpec) -> tuple[int, int]:
-    return host_hash_to_curve(curve, _J_TAG + curve.name.encode())
 
 
 def _low128_int(x: int) -> int:
@@ -177,6 +156,9 @@ class HostOpeningProof:
     # re-derives them from the transcript). (chals, sg) is the Pickles
     # accumulator this opening leaves behind (README.md:534-544).
     chals: list = dataclasses.field(default_factory=list)
+    # Verifiable hints for the device's U = to_group(t) reconstruction
+    # (curves/groupmap.py). Untrusted: the device validates by squaring.
+    u_hints: gm.UHints | None = None
 
 
 def host_commit(
@@ -229,7 +211,6 @@ class HostIpaProver:
         self.g = g
         self.h = h
         self.rng = rng
-        self.J = blinding_base_J(curve)
 
     def open(
         self, polys, blinds, commitments, eval_points, sponge=None, v=None, u=None
@@ -267,8 +248,8 @@ class HostIpaProver:
         lo, hi = _split_scalar(curve, vprime)
         sponge.absorb(lo)
         sponge.absorb(hi)
-        t = host_squeeze_128(sponge)
-        U = hc.mul(curve, t, self.J)
+        t = sponge.squeeze()  # full base-field challenge for the group map
+        U, u_hints = gm.to_group_hints(curve, t)
 
         # b vector: sum_j u^j (1, x_j, x_j^2, ...)
         b = [0] * n
@@ -334,7 +315,13 @@ class HostIpaProver:
         z1 = (d + c * a0) % ps
         z2 = (s_d + c * r_acc) % ps
         proof = HostOpeningProof(
-            lr=lr, delta=delta, z1=z1, z2=z2, sg=sg, chals=list(chals)
+            lr=lr,
+            delta=delta,
+            z1=z1,
+            z2=z2,
+            sg=sg,
+            chals=list(chals),
+            u_hints=u_hints,
         )
         return proof, {
             "v": v,
@@ -365,7 +352,6 @@ def host_verify(
     ps = curve.scalar.p
     n = len(g)
     k = n.bit_length() - 1
-    J = blinding_base_J(curve)
     if sponge is None:
         sponge = HostSponge(poseidon_spec(sponge_for(curve)))
         for pt in commitments:
@@ -380,8 +366,8 @@ def host_verify(
     lo, hi = _split_scalar(curve, vprime)
     sponge.absorb(lo)
     sponge.absorb(hi)
-    t = host_squeeze_128(sponge)
-    U = hc.mul(curve, t, J)
+    t = sponge.squeeze()
+    U = gm.to_group(curve, t)
     chals = []
     for L, R in proof.lr:
         sponge.absorb(L[0]), sponge.absorb(L[1])
@@ -480,6 +466,8 @@ class DeviceOpenings:
     lr:          (B, k, 2, 2, NLIMBS)
     delta, sg:   (B, 2, NLIMBS)
     z1, z2:      (B, NLIMBS)
+    u_sel:       (B, 3) int32 one-hot SvdW branch (groupmap hint)
+    u_hint:      (B, 4, NLIMBS) rows y, w0, w1, alpha (groupmap hints)
     """
 
     commitments: jax.Array
@@ -490,6 +478,23 @@ class DeviceOpenings:
     sg: jax.Array
     z1: jax.Array
     z2: jax.Array
+    u_sel: jax.Array
+    u_hint: jax.Array
+
+
+def u_hint_arrays(proofs: list[HostOpeningProof]) -> tuple[np.ndarray, np.ndarray]:
+    """Stack (u_sel (B,3), u_hint (B,4,NLIMBS)) from host opening proofs."""
+    B = len(proofs)
+    sel = np.zeros((B, 3), np.int32)
+    hint = np.zeros((B, 4, NLIMBS), np.int32)
+    for b, pr in enumerate(proofs):
+        uh = pr.u_hints
+        sel[b, uh.sel] = 1
+        hint[b, 0] = int_to_limbs(uh.y, NLIMBS)
+        hint[b, 1] = int_to_limbs(uh.wits[0], NLIMBS)
+        hint[b, 2] = int_to_limbs(uh.wits[1], NLIMBS)
+        hint[b, 3] = int_to_limbs(uh.alpha, NLIMBS)
+    return sel, hint
 
 
 def _split_128_device(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -573,7 +578,15 @@ def batch_verify(
         ops.append(("squeeze",))
     ops += [("absorb", openings.delta[:, 0]), ("absorb", openings.delta[:, 1]), ("squeeze",)]
     sq, _ = poseidon.run_transcript(ps_sponge, ops, sponge=sponge)
-    t = ffl.from_canon(sq[0] & mask128)
+    # U = to_group(t): full base-field challenge, hint-validated on device
+    u_aff, u_ok = gm.device_u_points(
+        curve,
+        ffl.from_canon(sq[0]),
+        openings.u_sel,
+        openings.u_hint[:, 0],
+        openings.u_hint[:, 1:3],
+        openings.u_hint[:, 3],
+    )
     endo = curve.endo_scalar
     chals = [endo_to_field_device(fs, endo, x & mask128) for x in sq[1 : 1 + k]]
     c = endo_to_field_device(fs, endo, sq[1 + k] & mask128)
@@ -608,9 +621,9 @@ def batch_verify(
     wc = mulf(w, c)
 
     sc_h = _sum_over_batch(fs, mulf(w, z2))  # H
-    sc_j = _sum_over_batch(
-        fs, mulf(mulf(w, t), ffl.sub(fs, mulf(z1, b0), mulf(c, vprime)))
-    )  # J
+    sc_u = ffl.canon(
+        fs, mulf(w, ffl.sub(fs, mulf(z1, b0), mulf(c, vprime)))
+    )  # (B, 20): per-proof U = to_group(t) coefficient
     sc_g = ffl.canon(fs, _sum_over_batch(fs, neg(mulf(rho[:, None], s)), axis=0))  # (n, 20)
     sc_sg = ffl.canon(fs, ffl.add(fs, mulf(w, z1), rho))  # (B, 20)
     sc_delta = ffl.canon(fs, neg(w))
@@ -623,13 +636,10 @@ def batch_verify(
     )  # (B, m, 20)
 
     # --- point assembly ---
-    Jx, Jy = blinding_base_J(curve)
-    J_aff = np.stack([int_to_limbs(Jx, NLIMBS), int_to_limbs(Jy, NLIMBS)])
-
     points = jnp.concatenate(
         [
             aff_to_rep(h_affine)[None],
-            aff_to_rep(jnp.asarray(J_aff))[None],
+            aff_to_rep(u_aff),
             aff_to_rep(g_affine),
             aff_to_rep(openings.sg),
             aff_to_rep(openings.delta),
@@ -642,7 +652,7 @@ def batch_verify(
     scalars = jnp.concatenate(
         [
             ffl.canon(fs, sc_h)[None],
-            ffl.canon(fs, sc_j)[None],
+            sc_u,
             sc_g,
             sc_sg,
             jnp.broadcast_to(sc_delta, (B, NLIMBS)) if sc_delta.ndim == 1 else sc_delta,
@@ -653,7 +663,7 @@ def batch_verify(
         axis=0,
     )
     result = msm_mod.msm(curve, scalars, points)
-    return jc.is_identity(curve, result)
+    return jnp.logical_and(jc.is_identity(curve, result), jnp.all(u_ok))
 
 
 def _sum_over_batch(spec, x: jax.Array, axis: int = 0) -> jax.Array:

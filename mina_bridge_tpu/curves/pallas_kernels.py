@@ -147,7 +147,7 @@ def _pad_lanes(x: jax.Array, n: int) -> jax.Array:
 def padd(c: CurveSpec, p: jax.Array, q: jax.Array) -> jax.Array:
     """Batched complete add on rows layout (3, L, N)."""
     n = p.shape[-1]
-    if not use_pallas() or n < BLOCK:
+    if not use_pallas():
         return padd_rows(c, p, q)
     npad = -(-n // BLOCK) * BLOCK
     p2, q2 = _pad_lanes(p, npad), _pad_lanes(q, npad)
@@ -168,7 +168,7 @@ def padd(c: CurveSpec, p: jax.Array, q: jax.Array) -> jax.Array:
 @functools.partial(jax.jit, static_argnums=0)
 def pdouble(c: CurveSpec, p: jax.Array) -> jax.Array:
     n = p.shape[-1]
-    if not use_pallas() or n < BLOCK:
+    if not use_pallas():
         return pdouble_rows(c, p)
     npad = -(-n // BLOCK) * BLOCK
     p2 = _pad_lanes(p, npad)
@@ -190,7 +190,7 @@ def pdouble(c: CurveSpec, p: jax.Array) -> jax.Array:
 def padd_select(c: CurveSpec, p, q, keep_q_mask):
     """Fused segmented-combine: where(mask, q, p+q); mask int32 (N,)."""
     n = p.shape[-1]
-    if not use_pallas() or n < BLOCK:
+    if not use_pallas():
         return padd_select_rows(c, p, q, keep_q_mask)
     npad = -(-n // BLOCK) * BLOCK
     p2, q2 = _pad_lanes(p, npad), _pad_lanes(q, npad)

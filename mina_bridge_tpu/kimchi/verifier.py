@@ -132,7 +132,7 @@ class DeviceVerifierIndex:
     data_fields=[
         "public", "w_comm", "z_comm", "h1_comm", "h2_comm", "zl_comm",
         "t_comm", "evals", "lr", "delta", "sg", "z1", "z2",
-        "prev_chals", "prev_sg",
+        "u_sel", "u_hint", "prev_chals", "prev_sg",
     ],
     meta_fields=[],
 )
@@ -153,6 +153,8 @@ class DeviceProofs:
     sg: jax.Array  # (B, 2, NLIMBS)
     z1: jax.Array  # (B, NLIMBS)
     z2: jax.Array  # (B, NLIMBS)
+    u_sel: jax.Array  # (B, 3) int32: one-hot SvdW branch for U
+    u_hint: jax.Array  # (B, 4, NLIMBS): y, w0, w1, alpha groupmap hints
     # Pickles recursion accumulators carried by each proof (R may be 0):
     prev_chals: jax.Array  # (B, R, k, NLIMBS)
     prev_sg: jax.Array  # (B, R, 2, NLIMBS)
@@ -179,7 +181,10 @@ class DeviceProofs:
             for r, (chals, sgpt) in enumerate(p.prev_challenges):
                 prev_chals[b, r] = np.stack([sc(x) for x in chals])
                 prev_sg[b, r] = aff(sgpt)
+        u_sel, u_hint = ipa.u_hint_arrays([p.opening for p in proofs])
         return cls(
+            u_sel=jnp.asarray(u_sel),
+            u_hint=jnp.asarray(u_hint),
             prev_chals=jnp.asarray(prev_chals),
             prev_sg=jnp.asarray(prev_sg),
             public=jnp.asarray(
@@ -510,6 +515,8 @@ def verify(
         sg=proofs.sg,
         z1=proofs.z1,
         z2=proofs.z2,
+        u_sel=proofs.u_sel,
+        u_hint=proofs.u_hint,
     )
     open_ok = ipa.batch_verify(
         curve,

@@ -25,6 +25,17 @@ sys.modules["zstandard"] = None
 import jax
 import pytest
 
+# The sys.modules block above is NOT enough under pytest: plugin
+# autoloading (jaxtyping's pytest plugin imports jax; the pytest import
+# chain imports zstandard) runs BEFORE conftest, so jax's
+# compilation_cache binds the real zstandard module and the zstd
+# serialize segfault returns. Null the binding post-import.
+from jax._src import compilation_cache as _cc
+
+_cc.zstandard = None
+if getattr(_cc, "zstd", None) is not None:
+    _cc.zstd = None
+
 # The axon sitecustomize registers a TPU plugin at interpreter start and
 # pins the platform; env vars alone don't win. Force CPU via config too.
 jax.config.update("jax_platforms", "cpu")

@@ -92,6 +92,7 @@ def _to_dev(curve, cases):
     sg = np.stack([aff([c[3].sg])[0] for c in cases])
     z1 = np.stack([int_to_limbs(c[3].z1, NLIMBS) for c in cases])
     z2 = np.stack([int_to_limbs(c[3].z2, NLIMBS) for c in cases])
+    u_sel, u_hint = ipa.u_hint_arrays([c[3] for c in cases])
     return ipa.DeviceOpenings(
         commitments=jnp.asarray(comms),
         evals=jnp.asarray(evals),
@@ -101,6 +102,8 @@ def _to_dev(curve, cases):
         sg=jnp.asarray(sg),
         z1=jnp.asarray(z1),
         z2=jnp.asarray(z2),
+        u_sel=jnp.asarray(u_sel),
+        u_hint=jnp.asarray(u_hint),
     )
 
 

@@ -43,6 +43,21 @@ def test_pmsm_matches_host(rng):
     assert got == want
 
 
+def test_pmsm_multichunk_matches_host(rng):
+    """Small G forces T = N/G > 1 chunks, exercising the lane-boundary
+    repair (Blelloch segmented inflow scan) and cross-chunk segments."""
+    from mina_bridge_tpu.ops import pmsm
+
+    c, pts, ks, dp, dk = setup_case(rng, 128)
+    # clustered digits -> long segments spanning several lanes/chunks
+    ks = [(i // 7 + 1) * (1 << 13 * (i % 3)) for i in range(128)]
+    dk = ff.from_ints(c.scalar, ks)
+    out = jax.jit(pmsm.msm, static_argnums=(0, 3))(c, dk, dp, 16)
+    got = jc.to_affine_ints(c, out)[0]
+    want = hc.msm(c, ks, pts)
+    assert got == want
+
+
 def test_msm_sharded_matches_host(rng):
     c, pts, ks, dp, dk = setup_case(rng, 32)
     devs = jax.devices()
