@@ -534,8 +534,19 @@ def batch_verify(
     sponge=None,
     v=None,
     u=None,
+    virtual_rows=(),
 ) -> jax.Array:
-    """Verify a batch of opening proofs with ONE combined MSM (bool result)."""
+    """Verify a batch of opening proofs with ONE combined MSM (bool result).
+
+    virtual_rows: rows of the v-combine whose commitment is a linear
+    combination of OTHER points (e.g. kimchi's ft linearization and
+    public-input rows). Each entry is (row_idx, points, lam):
+      points: (2, NLIMBS) broadcast or (B, 2, NLIMBS) per-proof affine
+      lam:    (B, REP_LIMBS) scalar-field coefficient
+    The row's slot in openings.commitments must hold the identity (0,0);
+    this function adds lam * points into the MSM with the row's own
+    v-combine coefficient, so the commitment C_row = sum lam_j P_j never
+    needs affine normalization on device."""
     fs = curve.scalar
     B, m = openings.commitments.shape[:2]
     npts = openings.eval_points.shape[1]
@@ -635,6 +646,16 @@ def batch_verify(
         fs, neg(mulf(wc[None], vp_stack)).transpose(1, 0, 2)
     )  # (B, m, 20)
 
+    # virtual rows: add lam * P with the row's v-combine coefficient
+    extra_points = []
+    extra_scalars = []
+    for row_idx, pts_aff, lam in virtual_rows:
+        coeff = neg(mulf(mulf(wc, v_pows[row_idx]), lam))  # (B, L)
+        if pts_aff.ndim == 2:
+            pts_aff = jnp.broadcast_to(pts_aff, (B,) + pts_aff.shape)
+        extra_points.append(aff_to_rep(pts_aff))
+        extra_scalars.append(ffl.canon(fs, coeff))
+
     # --- point assembly ---
     points = jnp.concatenate(
         [
@@ -646,7 +667,8 @@ def batch_verify(
             aff_to_rep(openings.lr[:, :, 0]).reshape(-1, 3, ffl.REP_LIMBS),
             aff_to_rep(openings.lr[:, :, 1]).reshape(-1, 3, ffl.REP_LIMBS),
             aff_to_rep(openings.commitments).reshape(-1, 3, ffl.REP_LIMBS),
-        ],
+        ]
+        + extra_points,
         axis=0,
     )
     scalars = jnp.concatenate(
@@ -659,7 +681,8 @@ def batch_verify(
             sc_l.reshape(-1, NLIMBS),
             sc_r.reshape(-1, NLIMBS),
             sc_comm.reshape(-1, NLIMBS),
-        ],
+        ]
+        + extra_scalars,
         axis=0,
     )
     result = msm_mod.msm(curve, scalars, points)

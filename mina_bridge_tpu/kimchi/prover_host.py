@@ -10,16 +10,39 @@ complete_add, selector-weighted, alpha-combined), followed by the
 7-column permutation argument; the quotient is computed on a coset of
 the 8n domain and split into 7 chunks (kimchi's split size).
 
-Transcript (single Poseidon sponge over the curve's base field):
+Transcript — kimchi's two-sponge shape (fq-sponge over the curve's BASE
+field for group elements, fr-sponge over the SCALAR field for
+evaluations; PARITY D3):
+
+  fq-sponge:
     absorb index digest
-    absorb public values (2 pieces each)
-    absorb w_comm[15] (x, y each)
-    squeeze beta, squeeze gamma            (128-bit)
-    absorb z_comm; squeeze alpha
-    absorb t_comm[7]; squeeze zeta
-    absorb all evals in OPEN_ORDER at (zeta, zeta*omega) (2 pieces each)
-    squeeze v (polyscale), squeeze u (evalscale)
-    ... IPA opening continues the same sponge (commitment/ipa.py)
+    absorb accumulator sg commitments (x, y each)
+    absorb public values (2 pieces each; kimchi absorbs the public
+        commitment instead — PARITY D10)
+    absorb w_comm[15], h1_comm, h2_comm (x, y each)
+    squeeze beta_l, gamma_l, beta, gamma   (raw 128-bit)
+    absorb z_comm, zl_comm; squeeze alpha  (endo)
+    absorb t_comm[7]; squeeze zeta         (endo)
+    squeeze fq_digest                      (full element)
+  fr-sponge:
+    absorb fq_digest (reduced mod r)
+    absorb accumulator challenge scalars (native)
+    absorb public_eval(zeta), public_eval(zeta*omega)
+    absorb ft_eval1
+    absorb all evals in OPEN_ORDER at (zeta, zeta*omega) (native)
+    squeeze v (polyscale, endo), u (evalscale, endo)
+  ... IPA opening continues the FQ sponge (commitment/ipa.py).
+
+Verifier equation — kimchi's ft linearization (PARITY D5): sigma[6] and
+the t chunks are NOT opened; they fold into the linearization polynomial
+  ft(X) = -alpha^PERM * zkpm(zeta) * beta * z(zeta*omega) * D5 * sigma6(X)
+          - Z_H(zeta) * sum_i zeta^(n i) t_i(X),
+  D5 = prod_{j<6} (w_j(zeta) + beta sigma_j(zeta) + gamma),
+opened at (zeta, zeta*omega) with ft_eval0 computed by the verifier from
+the opened evals (ft_eval0 = -S, S = all-scalar part of the quotient
+identity) and ft_eval1 supplied by the prover. The public polynomial is
+its own opening row (commitment = sum_i p_i L_i over the index's
+Lagrange commitments on the verifier side).
 """
 
 from __future__ import annotations
@@ -44,11 +67,15 @@ from .domain import Domain, coset_fft, coset_ifft, fft, ifft, poly_eval
 
 T_CHUNKS = 7
 N_LOOKUP_OPENED = 5  # h1, h2, z_lookup, table, q_lookup
-# opening order: w15, z, sigma7, coeffs15, sel(gen,pos,add),
-#                h1, h2, z_lookup, table, q_lookup, t7
+# opening order (prover-opened rows): w15, z, sigma6 (sigma[6] lives in
+# ft), coeffs15, sel(6 gates), h1, h2, z_lookup, table, q_lookup.
+# The t chunks fold into ft and are not opened (PARITY D5).
 N_OPENED = (
-    COLUMNS + 1 + PERMUTS + COEFFS + len(G.GATE_ORDER) + N_LOOKUP_OPENED + T_CHUNKS
-)  # 53
+    COLUMNS + 1 + (PERMUTS - 1) + COEFFS + len(G.GATE_ORDER) + N_LOOKUP_OPENED
+)  # 48
+# verifier-computed rows prepended to the v-combine, after any carried
+# accumulators: [public, ft]
+N_VERIFIER_ROWS = 2
 # alpha powers: gates, then permutation (recurrence*zkpm, L0 boundary,
 # L_{n-ZK_ROWS} boundary), then the 4 lookup constraints
 ALPHA_PERM = G.N_GATE_CONSTRAINTS
@@ -98,8 +125,9 @@ class HostProof:
     h1_comm: tuple  # lookup sorted halves
     h2_comm: tuple
     zl_comm: tuple  # lookup aggregation
-    t_comm: list  # 7 affine
+    t_comm: list  # 7 affine (folded into ft by the verifier, not opened)
     evals: list  # N_OPENED x 2 scalar ints, OPEN_ORDER
+    ft_eval1: int  # ft(zeta * omega) — the linearization's second point
     opening: ipa.HostOpeningProof
     public: list[int]
     # Pickles recursion accumulators this proof carries: [(chals, sg)].
@@ -157,43 +185,83 @@ def _absorb_point(sponge: HostSponge, pt) -> None:
     sponge.absorb(pt[1] if pt else 0)
 
 
-def opened_polys(
-    index: VerifierIndexHost, w_coeffs, z_coeffs, lookup_coeffs, t_chunks
-):
-    """Coefficient vectors in OPEN_ORDER."""
+def opened_polys(index: VerifierIndexHost, w_coeffs, z_coeffs, lookup_coeffs):
+    """Coefficient vectors in OPEN_ORDER (sigma[6] and t live in ft)."""
     h1_c, h2_c, zl_c = lookup_coeffs
     return (
         list(w_coeffs)
         + [z_coeffs]
-        + list(index.sigma_coeffs)
+        + list(index.sigma_coeffs[: PERMUTS - 1])
         + list(index.coeff_coeffs)
         + [index.sel_coeffs[g] for g in G.GATE_ORDER]
         + [h1_c, h2_c, zl_c, index.table_coeffs, index.qlk_coeffs]
-        + list(t_chunks)
     )
 
 
-def opened_comms(index: VerifierIndexHost, w_comm, z_comm, lookup_comms, t_comm):
+def opened_comms(index: VerifierIndexHost, w_comm, z_comm, lookup_comms):
     h1, h2, zl = lookup_comms
     return (
         list(w_comm)
         + [z_comm]
-        + list(index.sigma_comm)
+        + list(index.sigma_comm[: PERMUTS - 1])
         + list(index.coeff_comm)
         + [index.sel_comm[g] for g in G.GATE_ORDER]
         + [h1, h2, zl, index.table_comm, index.qlk_comm]
-        + list(t_comm)
     )
 
 
-def _absorb_prev_challenges(sponge, curve, prev_challenges) -> None:
-    """Absorb carried accumulators right after the index digest (kimchi's
-    oracles() absorbs RecursionChallenge commitments first; we also bind
-    the challenge scalars themselves, see PARITY D7)."""
-    for chals, sg in prev_challenges:
-        for ch in chals:
-            _absorb_scalar(sponge, curve, ch)
+def _absorb_prev_sg(sponge, prev_challenges) -> None:
+    """FQ sponge: absorb carried accumulator commitments right after the
+    index digest (kimchi's oracles() absorbs RecursionChallenge comms);
+    the challenge scalars are bound in the FR sponge (PARITY D7)."""
+    for _chals, sg in prev_challenges:
         _absorb_point(sponge, sg)
+
+
+def linearization_ft(
+    index: VerifierIndexHost,
+    t_chunks,
+    t_blinds,
+    evals,
+    beta: int,
+    gamma: int,
+    alpha_pows,
+    zeta: int,
+):
+    """The prover-side ft polynomial (PARITY D5):
+    ft = perm_ft * sigma6 - Z_H(zeta) * sum_i zeta^(n i) t_i,
+    perm_ft = -alpha^PERM zkpm(zeta) beta z(zeta w) D5,
+    D5 = prod_{j<6} (w_j(z) + beta sigma_j(z) + gamma).
+    Returns (ft_coeffs, ft_blind, perm_ft, t_scales)."""
+    ps = index.curve.scalar.p
+    dom = index.domain
+    n = dom.n
+    w_z = [evals[i][0] for i in range(COLUMNS)]
+    z_zw = evals[COLUMNS][1]
+    sig_z = [evals[COLUMNS + 1 + j][0] for j in range(PERMUTS - 1)]
+    d5 = 1
+    for j in range(PERMUTS - 1):
+        d5 = d5 * (w_z[j] + beta * sig_z[j] + gamma) % ps
+    zkpm_z = 1
+    for j in range(1, ZK_ROWS + 1):
+        zkpm_z = zkpm_z * (zeta - pow(dom.omega, n - j, ps)) % ps
+    perm_ft = (-alpha_pows[ALPHA_PERM] * zkpm_z * beta * z_zw * d5) % ps
+    zh = (pow(zeta, n, ps) - 1) % ps
+    zn = pow(zeta, n, ps)
+    t_scales = []
+    zp = 1
+    for _ in range(T_CHUNKS):
+        t_scales.append((-zh * zp) % ps)
+        zp = zp * zn % ps
+    sigma6 = index.sigma_coeffs[PERMUTS - 1]
+    ft_coeffs = [0] * n
+    for d in range(n):
+        acc = perm_ft * sigma6[d]
+        for i in range(T_CHUNKS):
+            acc += t_scales[i] * t_chunks[i][d]
+        ft_coeffs[d] = acc % ps
+    ft_blind = sum(t_scales[i] * t_blinds[i] for i in range(T_CHUNKS)) % ps
+    return ft_coeffs, ft_blind, perm_ft, t_scales
 
 
 def prove(
@@ -233,7 +301,7 @@ def prove(
 
     sponge = HostSponge(poseidon_spec(ipa.sponge_for(curve)))
     sponge.absorb(index.digest())
-    _absorb_prev_challenges(sponge, curve, prev_challenges)
+    _absorb_prev_sg(sponge, prev_challenges)
     for x in public:
         _absorb_scalar(sponge, curve, x)
     for pt in w_comm:
@@ -423,35 +491,54 @@ def prove(
         _absorb_point(sponge, pt)
     zeta = ipa.host_endo_chal(curve, sponge)
     zeta_w = zeta * dom.omega % ps
+    fq_digest = sponge.squeeze()
 
-    # 4. evaluations in OPEN_ORDER
-    polys = opened_polys(
-        index, w_coeffs, z_coeffs, (h1_coeffs, h2_coeffs, zl_coeffs), t_chunks
-    )
+    # 4. evaluations in OPEN_ORDER (sigma6 / t chunks fold into ft)
+    polys = opened_polys(index, w_coeffs, z_coeffs, (h1_coeffs, h2_coeffs, zl_coeffs))
     blinds = (
         w_blinds
         + [z_blind]
-        + [0] * (PERMUTS + COEFFS + len(G.GATE_ORDER))
+        + [0] * (PERMUTS - 1 + COEFFS + len(G.GATE_ORDER))
         + [h1_blind, h2_blind, zl_blind, 0, 0]
-        + t_blinds
     )
-    comms = opened_comms(index, w_comm, z_comm, (h1_comm, h2_comm, zl_comm), t_comm)
+    comms = opened_comms(index, w_comm, z_comm, (h1_comm, h2_comm, zl_comm))
     evals = [[poly_eval(c, zeta, ps), poly_eval(c, zeta_w, ps)] for c in polys]
-    for e0, e1 in evals:
-        _absorb_scalar(sponge, curve, e0)
-        _absorb_scalar(sponge, curve, e1)
-    v = ipa.host_endo_chal(curve, sponge)
-    u = ipa.host_endo_chal(curve, sponge)
 
-    # carried accumulators open first in the v-combine: b_poly(chals, .)
-    # against sg, blind 0 (the evals are verifier-computed, not absorbed)
+    # linearization polynomial ft + its second evaluation point
+    ft_coeffs, ft_blind, _, _ = linearization_ft(
+        index, t_chunks, t_blinds, evals, beta, gamma, alpha_pows, zeta
+    )
+    ft_eval1 = poly_eval(ft_coeffs, zeta_w, ps)
+    pub_eval_z = poly_eval(pub_coeffs, zeta, ps)
+    pub_eval_w = poly_eval(pub_coeffs, zeta_w, ps)
+
+    # FR sponge: evaluations bind in the scalar field (PARITY D3)
+    frs = HostSponge(poseidon_spec(curve.scalar.name))
+    frs.absorb(fq_digest % ps)
+    for chals, _sg in prev_challenges:
+        for ch in chals:
+            frs.absorb(ch)
+    frs.absorb(pub_eval_z)
+    frs.absorb(pub_eval_w)
+    frs.absorb(ft_eval1)
+    for e0, e1 in evals:
+        frs.absorb(e0)
+        frs.absorb(e1)
+    v = ipa.host_endo_chal(curve, frs)
+    u = ipa.host_endo_chal(curve, frs)
+
+    # v-combine row order: carried accumulators (b_poly rows against sg),
+    # then [public, ft], then the 48 prover-opened rows. The IPA opening
+    # continues the FQ sponge.
     prev_polys = [ipa.host_s_vector(chals, ps) for chals, _ in prev_challenges]
     prev_comms = [sg for _, sg in prev_challenges]
+    pub_comm = ipa.host_commit(curve, g, h, pub_coeffs, 0)
+    ft_comm = ipa.host_commit(curve, g, h, ft_coeffs, ft_blind)
     prover = ipa.HostIpaProver(curve, g, h, rng)
     opening, _ = prover.open(
-        prev_polys + polys,
-        [0] * len(prev_polys) + blinds,
-        prev_comms + comms,
+        prev_polys + [pub_coeffs, ft_coeffs] + polys,
+        [0] * len(prev_polys) + [0, ft_blind] + blinds,
+        prev_comms + [pub_comm, ft_comm] + comms,
         [zeta, zeta_w],
         sponge=sponge,
         v=v,
@@ -466,6 +553,7 @@ def prove(
         zl_comm=zl_comm,
         t_comm=t_comm,
         evals=evals,
+        ft_eval1=ft_eval1,
         opening=opening,
         public=list(public),
     )
@@ -483,7 +571,7 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
 
     sponge = HostSponge(poseidon_spec(ipa.sponge_for(curve)))
     sponge.absorb(index.digest())
-    _absorb_prev_challenges(sponge, curve, proof.prev_challenges)
+    _absorb_prev_sg(sponge, proof.prev_challenges)
     for x in proof.public:
         _absorb_scalar(sponge, curve, x)
     for pt in proof.w_comm:
@@ -502,11 +590,36 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
         _absorb_point(sponge, pt)
     zeta = ipa.host_endo_chal(curve, sponge)
     zeta_w = zeta * dom.omega % ps
+    fq_digest = sponge.squeeze()
+
+    pub_eval_z = (
+        sum(
+            proof.public[i] * dom.lagrange_eval(i, zeta)
+            for i in range(len(proof.public))
+        )
+        % ps
+    )
+    pub_eval_w = (
+        sum(
+            proof.public[i] * dom.lagrange_eval(i, zeta_w)
+            for i in range(len(proof.public))
+        )
+        % ps
+    )
+
+    frs = HostSponge(poseidon_spec(curve.scalar.name))
+    frs.absorb(fq_digest % ps)
+    for chals, _sg in proof.prev_challenges:
+        for ch in chals:
+            frs.absorb(ch)
+    frs.absorb(pub_eval_z)
+    frs.absorb(pub_eval_w)
+    frs.absorb(proof.ft_eval1)
     for e0, e1 in proof.evals:
-        _absorb_scalar(sponge, curve, e0)
-        _absorb_scalar(sponge, curve, e1)
-    v = ipa.host_endo_chal(curve, sponge)
-    u = ipa.host_endo_chal(curve, sponge)
+        frs.absorb(e0)
+        frs.absorb(e1)
+    v = ipa.host_endo_chal(curve, frs)
+    u = ipa.host_endo_chal(curve, frs)
 
     ev = proof.evals
     off = 0
@@ -515,8 +628,8 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     off += COLUMNS
     z_z, z_zw = ev[off]
     off += 1
-    sig_z = [ev[off + j][0] for j in range(PERMUTS)]
-    off += PERMUTS
+    sig_z = [ev[off + j][0] for j in range(PERMUTS - 1)]
+    off += PERMUTS - 1
     coeff_z = [ev[off + j][0] for j in range(COEFFS)]
     off += COEFFS
     sel_z = {g_: ev[off + i][0] for i, g_ in enumerate(G.GATE_ORDER)}
@@ -526,27 +639,22 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     zl_z, zl_zw = ev[off + 2]
     tbl_z, tbl_zw = ev[off + 3]
     qlk_z = ev[off + 4][0]
-    off += N_LOOKUP_OPENED
-    t_z = [ev[off + i][0] for i in range(T_CHUNKS)]
 
     zh = dom.vanishing_eval(zeta)
-    pub_eval = (
-        sum(
-            proof.public[i] * dom.lagrange_eval(i, zeta)
-            for i in range(len(proof.public))
-        )
-        % ps
-    )
     row = G.RowView(w=w_z, w_next=w_zw, c=coeff_z)
-    gate = G.all_gate_constraints(ops, row, sel_z, pub_eval, gctx, alpha_pows)
-    num = den = 1
+    gate = G.all_gate_constraints(ops, row, sel_z, pub_eval_z, gctx, alpha_pows)
+    num = 1
+    d5 = 1
     for j in range(PERMUTS):
         num = num * (w_z[j] + beta * ks[j] * zeta + gamma) % ps
-        den = den * (w_z[j] + beta * sig_z[j] + gamma) % ps
+    for j in range(PERMUTS - 1):
+        d5 = d5 * (w_z[j] + beta * sig_z[j] + gamma) % ps
     zkpm_z = 1
     for j in range(1, ZK_ROWS + 1):
         zkpm_z = zkpm_z * (zeta - pow(dom.omega, n - j, ps)) % ps
-    p2 = (z_z * num - z_zw * den) * zkpm_z % ps
+    # sigma6 term lives in ft: scalar part uses D5 * (w6 + gamma)
+    p2 = (z_z * num - z_zw * d5 * (w_z[PERMUTS - 1] + gamma)) * zkpm_z % ps
+    perm_ft = (-alpha_pows[ALPHA_PERM] * zkpm_z * beta * z_zw * d5) % ps
     l0 = dom.lagrange_eval(0, zeta)
     p1 = l0 * (z_z - 1) % ps
     p3 = dom.lagrange_eval(n - ZK_ROWS, zeta) * (z_z - 1) % ps
@@ -568,11 +676,8 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     lk_last = lnm1 * (zl_z - 1) % ps
     lk_overlap = lnm1 * (h1_z - h2_zw) % ps
 
-    t_at = 0
-    zn = pow(zeta, n, ps)
-    for i in reversed(range(T_CHUNKS)):
-        t_at = (t_at * zn + t_z[i]) % ps
-    lhs = (
+    # S = all-scalar part; ft(zeta) must equal -S (checked by the opening)
+    S = (
         gate
         + alpha_pows[ALPHA_PERM] * p2
         + alpha_pows[ALPHA_PERM + 1] * p1
@@ -582,15 +687,34 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
         + alpha_pows[ALPHA_LOOKUP + 2] * lk_last
         + alpha_pows[ALPHA_LOOKUP + 3] * lk_overlap
     ) % ps
-    if (lhs - zh * t_at) % ps != 0:
-        return False
+    ft_eval0 = (-S) % ps
+
+    # verifier-side commitments: public = sum p_i L_i (Lagrange comms);
+    # ft = perm_ft * sigma6_comm - zh * sum zeta^(n i) t_comm_i
+    from ..curves import host as hc
+
+    pub_comm = None
+    for i, p_i in enumerate(proof.public):
+        unit = [0] * n
+        unit[i] = 1
+        li_comm = ipa.host_commit(index.curve, g, h, ifft(dom, unit), 0)
+        pub_comm = hc.add(index.curve, pub_comm, hc.mul(index.curve, p_i, li_comm))
+    zn = pow(zeta, n, ps)
+    ft_comm = hc.mul(index.curve, perm_ft, index.sigma_comm[PERMUTS - 1])
+    zp = 1
+    for i in range(T_CHUNKS):
+        ft_comm = hc.add(
+            index.curve,
+            ft_comm,
+            hc.mul(index.curve, (-zh * zp) % ps, proof.t_comm[i]),
+        )
+        zp = zp * zn % ps
 
     comms = opened_comms(
         index,
         proof.w_comm,
         proof.z_comm,
         (proof.h1_comm, proof.h2_comm, proof.zl_comm),
-        proof.t_comm,
     )
     # verifier-computed rows for the carried accumulators: opening
     # b_poly(chals, .) against sg at a random zeta decides the deferred
@@ -607,9 +731,11 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
         index.curve,
         g,
         h,
-        prev_comms + comms,
+        prev_comms + [pub_comm, ft_comm] + comms,
         [zeta, zeta_w],
-        prev_evals + proof.evals,
+        prev_evals
+        + [[pub_eval_z, pub_eval_w], [ft_eval0, proof.ft_eval1]]
+        + proof.evals,
         proof.opening,
         sponge=sponge,
         v=v,

@@ -49,6 +49,7 @@ from .prover_host import (
     jax.tree_util.register_dataclass,
     data_fields=[
         "index_comms",
+        "lagrange_comm",
         "g_affine",
         "h_affine",
         "digest_limbs",
@@ -73,8 +74,11 @@ class DeviceVerifierIndex:
     log_n: int
     npub: int
     field_name: str
-    # (27, 2, NLIMBS): sigma[7] + coeffs[15] + sel[3] + table + q_lookup
+    # (30, 2, NLIMBS): sigma[7] + coeffs[15] + sel[6] + table + q_lookup
     index_comms: np.ndarray
+    # (max(npub,1), 2, NLIMBS): Lagrange-basis commitments L_i for the
+    # public-input row (kimchi keeps these in the SRS per domain)
+    lagrange_comm: np.ndarray
     g_affine: np.ndarray  # (n, 2, NLIMBS)
     h_affine: np.ndarray  # (2, NLIMBS)
     digest_limbs: np.ndarray  # (NLIMBS,)
@@ -103,6 +107,19 @@ class DeviceVerifierIndex:
         n = index.domain.n
         fs = index.curve.scalar
         omega = index.domain.omega
+        # Lagrange commitments for the public row: L_i = commit(l_i)
+        from ..commitment import ipa as ipa_mod
+        from .domain import ifft as _ifft
+
+        lag = []
+        for i in range(max(index.npub, 1)):
+            unit = [0] * n
+            unit[i] = 1
+            lag.append(
+                aff(ipa_mod.host_commit(index.curve, g, h, _ifft(index.domain, unit), 0))
+                if index.npub
+                else np.zeros((2, NLIMBS), np.int32)
+            )
         return cls(
             curve=index.curve,
             n=n,
@@ -110,6 +127,7 @@ class DeviceVerifierIndex:
             npub=index.npub,
             field_name=index.domain.field.name,
             index_comms=np.stack(comms),
+            lagrange_comm=np.stack(lag),
             g_affine=np.stack([aff(p) for p in g[:n]]),
             h_affine=aff(h),
             digest_limbs=int_to_limbs(index.digest(), NLIMBS),
@@ -131,7 +149,7 @@ class DeviceVerifierIndex:
     jax.tree_util.register_dataclass,
     data_fields=[
         "public", "w_comm", "z_comm", "h1_comm", "h2_comm", "zl_comm",
-        "t_comm", "evals", "lr", "delta", "sg", "z1", "z2",
+        "t_comm", "evals", "ft_eval1", "lr", "delta", "sg", "z1", "z2",
         "u_sel", "u_hint", "prev_chals", "prev_sg",
     ],
     meta_fields=[],
@@ -147,7 +165,8 @@ class DeviceProofs:
     h2_comm: jax.Array  # (B, 2, NLIMBS)
     zl_comm: jax.Array  # (B, 2, NLIMBS)
     t_comm: jax.Array  # (B, 7, 2, NLIMBS)
-    evals: jax.Array  # (B, 35, 2, NLIMBS)
+    evals: jax.Array  # (B, N_OPENED=48, 2, NLIMBS)
+    ft_eval1: jax.Array  # (B, NLIMBS): ft(zeta*omega), PARITY D5
     lr: jax.Array  # (B, k, 2, 2, NLIMBS)
     delta: jax.Array  # (B, 2, NLIMBS)
     sg: jax.Array  # (B, 2, NLIMBS)
@@ -208,6 +227,7 @@ class DeviceProofs:
                     ]
                 )
             ),
+            ft_eval1=jnp.asarray(np.stack([sc(p.ft_eval1) for p in proofs])),
             lr=jnp.asarray(
                 np.stack(
                     [
@@ -233,26 +253,27 @@ def _const(spec, x: int) -> jax.Array:
 def verify(
     index: DeviceVerifierIndex, proofs: DeviceProofs, rand_weights: jax.Array
 ) -> jax.Array:
-    """Verify B proofs; returns (per-batch equation ok, opening ok) -> bool.
+    """Verify B proofs; returns a single bool.
 
-    The gate identity is checked per proof; the openings are aggregated
-    into one MSM whose result must be the identity. Both must hold.
+    Kimchi shape (PARITY D3/D5): an FQ transcript derives beta/gamma/
+    alpha/zeta and digests into an FR transcript that binds evaluations
+    and derives v/u; the quotient identity is enforced THROUGH the one
+    batched opening MSM via the ft linearization row (ft_eval0 = -S is
+    computed here from the opened evals).
     """
     curve = index.curve
     fs = curve.scalar
     B = proofs.z1.shape[0]
     npub = proofs.public.shape[1]
-    ps_sponge = poseidon_spec(ipa.sponge_for(curve))
+    ps_fq = poseidon_spec(ipa.sponge_for(curve))
+    ps_fr = poseidon_spec(fs.name)
     mask128 = jnp.asarray(ipa._MASK128)
 
-    # ---- one scheduled transcript for all oracles ----
+    # ---- FQ transcript: group elements in, 128-bit challenges out ----
     R = proofs.prev_chals.shape[1]
     kk = proofs.prev_chals.shape[2]
     ops: list = [("absorb", jnp.asarray(index.digest_limbs))]
-    for r in range(R):  # carried accumulators, right after the digest
-        for j in range(kk):
-            lo, hi = ipa._split_128_device(proofs.prev_chals[:, r, j])
-            ops += [("absorb", lo), ("absorb", hi)]
+    for r in range(R):  # carried accumulator commitments (chals go to FR)
         ops += [
             ("absorb", proofs.prev_sg[:, r, 0]),
             ("absorb", proofs.prev_sg[:, r, 1]),
@@ -282,20 +303,17 @@ def verify(
             ("absorb", proofs.t_comm[:, i, 1]),
         ]
     ops += [("squeeze",)]  # zeta
-    for i in range(N_OPENED):
-        for j in range(2):
-            lo, hi = ipa._split_128_device(proofs.evals[:, i, j])
-            ops += [("absorb", lo), ("absorb", hi)]
-    ops += [("squeeze",), ("squeeze",)]  # v, u
-    sq, sponge = poseidon.run_transcript(ps_sponge, ops, batch_shape=(B,))
+    ops += [("squeeze",)]  # fq_digest -> FR sponge
+    sq, fq_sponge = poseidon.run_transcript(ps_fq, ops, batch_shape=(B,))
     beta_l, gamma_l, beta, gamma = [ffl.from_canon(x & mask128) for x in sq[:4]]
-    # alpha/zeta/v/u go through the endo map (kimchi ScalarChallenge)
-    alpha, zeta, v, u = [
+    # alpha/zeta go through the endo map (kimchi ScalarChallenge)
+    alpha, zeta = [
         ipa.endo_to_field_device(fs, curve.endo_scalar, x & mask128)
-        for x in sq[4:]
+        for x in sq[4:6]
     ]
+    fq_digest = sq[6]  # canonical base-field limbs
 
-    # ---- scalar identity at zeta ----
+    # ---- scalar identity pieces at zeta (opened evals) ----
     ev = ffl.from_canon(proofs.evals)  # (B, 48, 2, L)
     off = 0
     w_z = [ev[:, i, 0] for i in range(COLUMNS)]
@@ -305,8 +323,8 @@ def verify(
     z_zw = ev[:, off, 1]
     off += 1
     sig_off = off
-    sig_z = [ev[:, off + j, 0] for j in range(PERMUTS)]
-    off += PERMUTS
+    sig_z = [ev[:, off + j, 0] for j in range(PERMUTS - 1)]
+    off += PERMUTS - 1
     coeff_z = [ev[:, off + j, 0] for j in range(COEFFS)]
     off += COEFFS
     sel_z = {g_: ev[:, off + i, 0] for i, g_ in enumerate(G.GATE_ORDER)}
@@ -316,8 +334,6 @@ def verify(
     zl_z, zl_zw = ev[:, off + 2, 0], ev[:, off + 2, 1]
     tbl_z, tbl_zw = ev[:, off + 3, 0], ev[:, off + 3, 1]
     qlk_z = ev[:, off + 4, 0]
-    off += N_LOOKUP_OPENED
-    t_z = [ev[:, off + i, 0] for i in range(T_CHUNKS)]
 
     mul = lambda a, b: ffl.mul(fs, a, b)
     add = lambda a, b: ffl.add(fs, a, b)
@@ -330,19 +346,30 @@ def verify(
     one = jnp.broadcast_to(ffl.ones(fs), zeta.shape).astype(jnp.int32)
     zh = sub(zn, one)  # Z_H(zeta)
 
-    # Lagrange evals L_i(zeta) = omega^i * zh / (n * (zeta - omega^i))
+    zeta_w = mul(zeta, jnp.asarray(index.omega_rep)[None])
+
+    # Lagrange evals L_i(x) = omega^i * Z_H(x) / (n * (x - omega^i)) at
+    # both opening points; Z_H(zeta*omega) = Z_H(zeta) since omega^n = 1.
     n_inv = jnp.asarray(index.n_inv_rep)
     pub_eval = ffl.zeros(fs, (B,))
+    pub_eval_w = ffl.zeros(fs, (B,))
     if npub:
         omega_pows = jnp.asarray(index.omega_pows_rep)  # (npub, L)
         dens = sub(zeta[None], omega_pows[:, None])  # (npub, B, L)
-        dens_inv = ffl.inv(fs, dens)
+        dens_w = sub(zeta_w[None], omega_pows[:, None])
+        dens_inv = ffl.inv(fs, jnp.concatenate([dens, dens_w], axis=0))
         for i in range(npub):
+            pv = ffl.from_canon(proofs.public[:, i])
             li = mul(
                 mul(mul(dens_inv[i], zh), omega_pows[i][None]),
                 n_inv[None],
             )
-            pub_eval = add(pub_eval, mul(li, ffl.from_canon(proofs.public[:, i])))
+            pub_eval = add(pub_eval, mul(li, pv))
+            li_w = mul(
+                mul(mul(dens_inv[npub + i], zh), omega_pows[i][None]),
+                n_inv[None],
+            )
+            pub_eval_w = add(pub_eval_w, mul(li_w, pv))
 
     # gate constraints via the shared expressions (device field ops)
     from ..fields.params import FP, FQ
@@ -363,12 +390,12 @@ def verify(
         dev_ops, row, sel_z, pub_eval, gctx, alpha_pows
     )
 
-    # batched permutation products over the 7 columns (tree-reduced)
+    # batched permutation products (sigma[6] lives in ft: den over 6)
     w_stack = ev[:, :PERMUTS, 0].transpose(1, 0, 2)  # (7, B, L)
-    sig_stack = ev[:, sig_off : sig_off + PERMUTS, 0].transpose(1, 0, 2)
+    sig_stack = ev[:, sig_off : sig_off + PERMUTS - 1, 0].transpose(1, 0, 2)
     k_stack = jnp.asarray(index.shifts_rep)  # (7, 1, L)
     num_f = add(add(w_stack, mul(mul(beta[None], k_stack), zeta[None])), gamma[None])
-    den_f = add(add(w_stack, mul(beta[None], sig_stack)), gamma[None])
+    den_f = add(add(w_stack[: PERMUTS - 1], mul(beta[None], sig_stack)), gamma[None])
 
     def tree_prod(x):
         n = x.shape[0]
@@ -384,13 +411,20 @@ def verify(
         return x[0]
 
     num = tree_prod(num_f)
-    den = tree_prod(den_f)
+    d5 = tree_prod(den_f)  # prod over the 6 opened sigmas
     # zkpm(zeta) = prod_j (zeta - omega^(n-j)), j = 1..ZK_ROWS
     omega_zk = jnp.asarray(index.omega_zk_rep)  # (ZK_ROWS, L)
     zkpm = sub(zeta, jnp.broadcast_to(omega_zk[0][None], zeta.shape).astype(jnp.int32))
     for j in range(1, ZK_ROWS):
         zkpm = mul(zkpm, sub(zeta, omega_zk[j][None]))
-    p2 = mul(sub(mul(z_z, num), mul(z_zw, den)), zkpm)
+    # scalar part of the permutation recurrence: the sigma6 term moves to
+    # ft as perm_ft * sigma6(X)
+    w6_g = add(w_stack[PERMUTS - 1], gamma)
+    p2 = mul(sub(mul(z_z, num), mul(mul(z_zw, d5), w6_g)), zkpm)
+    # ft's sigma6 coefficient: -alpha^PERM zkpm beta z(zw) D5
+    perm_ft = ffl.neg(
+        fs, mul(mul(mul(mul(alpha_pows[ALPHA_PERM], zkpm), beta), z_zw), d5)
+    )
     # L_0(zeta)
     l0 = mul(mul(ffl.inv(fs, sub(zeta, one)), zh), n_inv[None])
     p1 = mul(l0, sub(z_z, one))
@@ -432,11 +466,9 @@ def verify(
     lk_last = mul(lnm1, sub(zl_z, one))
     lk_overlap = mul(lnm1, sub(h1_z, h2_zw))
 
-    t_at = ffl.zeros(fs, (B,))
-    for i in reversed(range(T_CHUNKS)):
-        t_at = add(mul(t_at, zn), t_z[i])
-
-    lhs = add(
+    # S = the all-scalar part of the quotient identity; the committed
+    # remainder is ft (sigma6 + t chunks), so ft(zeta) must equal -S.
+    S = add(
         gate,
         add(
             mul(alpha_pows[ALPHA_PERM], p2),
@@ -446,8 +478,8 @@ def verify(
             ),
         ),
     )
-    lhs = add(
-        lhs,
+    S = add(
+        S,
         add(
             add(
                 mul(alpha_pows[ALPHA_LOOKUP], lk_rec),
@@ -459,10 +491,36 @@ def verify(
             ),
         ),
     )
-    eq_ok = ffl.is_zero(fs, sub(lhs, mul(zh, t_at)))  # (B,)
+    ft0 = ffl.neg(fs, S)
+    # ft's t-chunk coefficients: -Z_H(zeta) * zeta^(n i)
+    t_scales = []
+    zp = jnp.broadcast_to(ffl.ones(fs), zeta.shape).astype(jnp.int32)
+    for i in range(T_CHUNKS):
+        t_scales.append(ffl.neg(fs, mul(zh, zp)))
+        if i + 1 < T_CHUNKS:
+            zp = mul(zp, zn)
+
+    # ---- FR transcript: evaluations bind in the scalar field ----
+    frops: list = [("absorb", ffl.canon(fs, ffl.from_canon(fq_digest)))]
+    for r in range(R):
+        for j in range(kk):
+            frops.append(("absorb", proofs.prev_chals[:, r, j]))
+    frops += [
+        ("absorb", ffl.canon(fs, pub_eval)),
+        ("absorb", ffl.canon(fs, pub_eval_w)),
+        ("absorb", proofs.ft_eval1),
+    ]
+    for i in range(N_OPENED):
+        frops += [
+            ("absorb", proofs.evals[:, i, 0]),
+            ("absorb", proofs.evals[:, i, 1]),
+        ]
+    frops += [("squeeze",), ("squeeze",)]  # v, u
+    (v_sq, u_sq), _ = poseidon.run_transcript(ps_fr, frops, batch_shape=(B,))
+    v = ipa.endo_to_field_device(fs, curve.endo_scalar, v_sq & mask128)
+    u = ipa.endo_to_field_device(fs, curve.endo_scalar, u_sq & mask128)
 
     # ---- batched opening via one MSM ----
-    zeta_w = mul(zeta, jnp.asarray(index.omega_rep)[None])
     eval_points = jnp.stack(
         [ffl.canon(fs, zeta), ffl.canon(fs, zeta_w)], axis=1
     )  # (B, 2, 20)
@@ -470,23 +528,31 @@ def verify(
     idx_comms = jnp.broadcast_to(
         jnp.asarray(index.index_comms)[None], (B, n_idx, 2, NLIMBS)
     )
-    # order must match prover_host.opened_comms: [prev accumulators], w,
-    # z, sigma+coeff+sel (index), h1, h2, zl, table+qlk (index), t
+    # order must match prover_host: [prev accumulators], public, ft, w,
+    # z, sigma6+coeff+sel (index), h1, h2, zl, table+qlk (index).
+    # public/ft slots hold the identity; their real contributions enter
+    # as virtual rows (linear combinations of L_i / sigma6 / t points).
+    zero_rows = jnp.zeros((B, 2, 2, NLIMBS), jnp.int32)
     commitments = jnp.concatenate(
         ([proofs.prev_sg] if R else [])
         + [
+            zero_rows,
             proofs.w_comm,
             proofs.z_comm[:, None],
-            idx_comms[:, :-2],
+            idx_comms[:, : PERMUTS - 1],
+            idx_comms[:, PERMUTS : PERMUTS + COEFFS + len(G.GATE_ORDER)],
             proofs.h1_comm[:, None],
             proofs.h2_comm[:, None],
             proofs.zl_comm[:, None],
             idx_comms[:, -2:],
-            proofs.t_comm,
         ],
         axis=1,
-    )  # (B, R + 53, 2, NLIMBS)
-    evals_all = proofs.evals
+    )  # (B, R + 2 + 48, 2, NLIMBS)
+    pub_row = jnp.stack(
+        [ffl.canon(fs, pub_eval), ffl.canon(fs, pub_eval_w)], axis=1
+    )[:, None]
+    ft_row = jnp.stack([ffl.canon(fs, ft0), proofs.ft_eval1], axis=1)[:, None]
+    front = [pub_row, ft_row]
     if R:
         # verifier-computed accumulator rows: b_poly(chals, .) at
         # (zeta, zeta*omega); opening them against sg decides the
@@ -503,9 +569,19 @@ def verify(
             bval = mul(bval, term)
             if i + 1 < kk:
                 xp = mul(xp, xp)
-        evals_all = jnp.concatenate(
-            [ffl.canon(fs, bval), proofs.evals], axis=1
-        )
+        front = [ffl.canon(fs, bval)] + front
+    evals_all = jnp.concatenate(front + [proofs.evals], axis=1)
+
+    # virtual rows: public = sum_i p_i L_i; ft = perm_ft sigma6 + t part
+    lag = jnp.asarray(index.lagrange_comm)
+    virtual = []
+    for i in range(npub):
+        virtual.append((R + 0, lag[i], ffl.from_canon(proofs.public[:, i])))
+    sigma6_comm = jnp.asarray(index.index_comms)[PERMUTS - 1]
+    virtual.append((R + 1, sigma6_comm, perm_ft))
+    for i in range(T_CHUNKS):
+        virtual.append((R + 1, proofs.t_comm[:, i], t_scales[i]))
+
     openings = ipa.DeviceOpenings(
         commitments=commitments,
         evals=evals_all,
@@ -518,14 +594,14 @@ def verify(
         u_sel=proofs.u_sel,
         u_hint=proofs.u_hint,
     )
-    open_ok = ipa.batch_verify(
+    return ipa.batch_verify(
         curve,
         jnp.asarray(index.g_affine),
         jnp.asarray(index.h_affine),
         openings,
         rand_weights,
-        sponge=sponge,
+        sponge=fq_sponge,
         v=v,
         u=u,
+        virtual_rows=tuple(virtual),
     )
-    return jnp.logical_and(jnp.all(eq_ok), open_ok)

@@ -267,12 +267,13 @@ def _reduce_last(c, x):
 
 
 def msm_rows(
-    c: CurveSpec, scalars: jax.Array, points_rows: jax.Array, G: int = 4096
+    c: CurveSpec, scalars: jax.Array, points_rows: jax.Array, G: int = 2048
 ) -> jax.Array:
     """MSM over rows-layout points (3, L, N); scalars (N, 20) canonical.
 
     G = lanes per segmented-scan chunk (tunable: scan work is G-invariant
-    but chunk count N/G is sequential depth). Returns a single projective
+    but chunk count N/G is sequential depth; G=2048 measured best on the
+    attached TPU: 192K pts/s vs 186K @4096, 170K @1024). Returns a single projective
     point in rows layout (3, L, 1).
     """
     N = scalars.shape[0]
@@ -323,7 +324,7 @@ def msm_rows(
 
 
 def msm(
-    c: CurveSpec, scalars: jax.Array, points: jax.Array, G: int = 4096
+    c: CurveSpec, scalars: jax.Array, points: jax.Array, G: int = 2048
 ) -> jax.Array:
     """Drop-in for ops.msm.msm: (N,3,L) points -> (3,L) REP point."""
     rows_pts = pk.to_rows(points)
