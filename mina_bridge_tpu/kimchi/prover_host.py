@@ -17,8 +17,8 @@ evaluations; PARITY D3):
   fq-sponge:
     absorb index digest
     absorb accumulator sg commitments (x, y each)
-    absorb public values (2 pieces each; kimchi absorbs the public
-        commitment instead — PARITY D10)
+    absorb the public commitment sum_i p_i L_i + H (x, y) — kimchi's
+        blinded public commitment (blinder 1; PARITY D10)
     absorb w_comm[15], h1_comm, h2_comm (x, y each)
     squeeze beta_l, gamma_l, beta, gamma   (raw 128-bit)
     absorb z_comm, zl_comm; squeeze alpha  (endo)
@@ -299,11 +299,21 @@ def prove(
         ipa.host_commit(curve, g, h, c, b) for c, b in zip(w_coeffs, w_blinds)
     ]
 
+    # public commitment, absorbed as a point like kimchi does (PARITY
+    # D10): the transcript binds sum_i p_i L_i + 1*H (kimchi's public
+    # commitment with its fixed blinder 1); the opening row itself stays
+    # unblinded — the +H offset only enters the transcript.
+    from ..curves import host as hc
+
+    pub_coeffs = ifft(
+        dom, [public[i] if i < len(public) else 0 for i in range(n)]
+    )
+    pub_comm = ipa.host_commit(curve, g, h, pub_coeffs, 0)
+
     sponge = HostSponge(poseidon_spec(ipa.sponge_for(curve)))
     sponge.absorb(index.digest())
     _absorb_prev_sg(sponge, prev_challenges)
-    for x in public:
-        _absorb_scalar(sponge, curve, x)
+    _absorb_point(sponge, hc.add(curve, pub_comm, h))
     for pt in w_comm:
         _absorb_point(sponge, pt)
 
@@ -417,9 +427,6 @@ def prove(
     )  # L_{n-ZK_ROWS}
     omega_last = pow(dom.omega, n - 1, ps)
     omega_zk = [pow(dom.omega, n - j, ps) for j in range(1, ZK_ROWS + 1)]
-    pub_coeffs = ifft(
-        dom, [public[i] if i < len(public) else 0 for i in range(n)]
-    )
     pub_ext = ext(pub_coeffs)
     l0_ext = ext(ifft(dom, [1] + [0] * (n - 1)))
 
@@ -532,7 +539,6 @@ def prove(
     # continues the FQ sponge.
     prev_polys = [ipa.host_s_vector(chals, ps) for chals, _ in prev_challenges]
     prev_comms = [sg for _, sg in prev_challenges]
-    pub_comm = ipa.host_commit(curve, g, h, pub_coeffs, 0)
     ft_comm = ipa.host_commit(curve, g, h, ft_coeffs, ft_blind)
     prover = ipa.HostIpaProver(curve, g, h, rng)
     opening, _ = prover.open(
@@ -569,11 +575,22 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     ops = G.host_ops(ps)
     gctx = gate_ctx(dom.field)
 
+    # public commitment via the Lagrange-basis commitments (PARITY D10):
+    # the verifier recomputes sum_i p_i L_i and absorbs it +H, exactly
+    # mirroring the prover's transcript.
+    from ..curves import host as hc
+
+    pub_comm = None
+    for i, p_i in enumerate(proof.public):
+        unit = [0] * n
+        unit[i] = 1
+        li_comm = ipa.host_commit(index.curve, g, h, ifft(dom, unit), 0)
+        pub_comm = hc.add(index.curve, pub_comm, hc.mul(index.curve, p_i, li_comm))
+
     sponge = HostSponge(poseidon_spec(ipa.sponge_for(curve)))
     sponge.absorb(index.digest())
     _absorb_prev_sg(sponge, proof.prev_challenges)
-    for x in proof.public:
-        _absorb_scalar(sponge, curve, x)
+    _absorb_point(sponge, hc.add(curve, pub_comm, h))
     for pt in proof.w_comm:
         _absorb_point(sponge, pt)
     _absorb_point(sponge, proof.h1_comm)
@@ -691,14 +708,8 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
 
     # verifier-side commitments: public = sum p_i L_i (Lagrange comms);
     # ft = perm_ft * sigma6_comm - zh * sum zeta^(n i) t_comm_i
-    from ..curves import host as hc
-
-    pub_comm = None
-    for i, p_i in enumerate(proof.public):
-        unit = [0] * n
-        unit[i] = 1
-        li_comm = ipa.host_commit(index.curve, g, h, ifft(dom, unit), 0)
-        pub_comm = hc.add(index.curve, pub_comm, hc.mul(index.curve, p_i, li_comm))
+    # (pub_comm was computed above for the transcript; reused here as the
+    # public opening row's commitment)
     zn = pow(zeta, n, ps)
     ft_comm = hc.mul(index.curve, perm_ft, index.sigma_comm[PERMUTS - 1])
     zp = 1

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..commitment import ipa
+from ..curves import jaxcurve as jc
 from ..curves.host import CurveSpec
 from ..fields import ffl
 from ..fields.params import NLIMBS, int_to_limbs
@@ -278,9 +279,36 @@ def verify(
             ("absorb", proofs.prev_sg[:, r, 0]),
             ("absorb", proofs.prev_sg[:, r, 1]),
         ]
-    for i in range(npub):
-        lo, hi = ipa._split_128_device(proofs.public[:, i])
-        ops += [("absorb", lo), ("absorb", hi)]
+    # Public commitment absorbed as a point (kimchi shape; PARITY D10):
+    # P_pub = sum_i p_i L_i + 1*H over the index's Lagrange commitments
+    # (kimchi's blinded public commitment). Double-and-add is <1% of the
+    # main MSM's work; one Fermat inversion normalizes to affine for the
+    # sponge.
+    if npub:
+        lag_pts = jc.from_affine(
+            curve,
+            ffl.from_canon(index.lagrange_comm[:, 0]),
+            ffl.from_canon(index.lagrange_comm[:, 1]),
+        )  # (npub, 3, REP)
+        bits = (proofs.public[..., None] >> jnp.arange(13)) & 1
+        bits = bits.reshape(B, npub, -1)[..., ::-1]  # msb-first, 260 bits
+        pts = jnp.broadcast_to(lag_pts[None], (B,) + lag_pts.shape)
+        acc = jc.scalar_mul(curve, bits, pts)  # (B, npub, 3, REP)
+        pub_pt = acc[:, 0]
+        for i in range(1, npub):
+            pub_pt = jc.add(curve, pub_pt, acc[:, i])
+    else:
+        pub_pt = jc.identity(curve, (B,))
+    h_rep = jc.from_affine(
+        curve,
+        ffl.from_canon(index.h_affine[0]),
+        ffl.from_canon(index.h_affine[1]),
+    )
+    pub_pt = jc.add(curve, pub_pt, jnp.broadcast_to(h_rep, pub_pt.shape))
+    zinv = ffl.inv(curve.base, pub_pt[..., 2, :])
+    pub_x = ffl.canon(curve.base, ffl.mul(curve.base, pub_pt[..., 0, :], zinv))
+    pub_y = ffl.canon(curve.base, ffl.mul(curve.base, pub_pt[..., 1, :], zinv))
+    ops += [("absorb", pub_x), ("absorb", pub_y)]
     for i in range(COLUMNS):
         ops += [
             ("absorb", proofs.w_comm[:, i, 0]),
