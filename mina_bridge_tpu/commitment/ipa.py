@@ -41,6 +41,15 @@ from ..hash import poseidon
 from ..hash.poseidon import HostSponge, Sponge
 from ..hash.poseidon_params import poseidon_spec
 from ..ops import msm as msm_mod
+from ..ops import pmsm as pmsm_mod
+from ..curves import pallas_kernels as pk
+
+
+def _msm_impl():
+    """Fused Pallas-kernel MSM on TPU; jnp reference path on the CPU
+    backend (same results — tests cross-check pmsm against msm). Chosen
+    at trace time: the backend is fixed per process."""
+    return pmsm_mod if pk.use_pallas() else msm_mod
 
 CHALLENGE_BITS = 128
 
@@ -453,7 +462,7 @@ def batch_decide(
     )  # (n, NLIMBS)
     points = jnp.concatenate([aff_to_rep(g_affine), aff_to_rep(acc_sg)], axis=0)
     scalars = jnp.concatenate([sc_g, ffl.canon(fs, w)], axis=0)
-    result = msm_mod.msm(curve, scalars, points)
+    result = _msm_impl().msm(curve, scalars, points)
     return jc.is_identity(curve, result)
 
 @dataclasses.dataclass
@@ -685,7 +694,7 @@ def batch_verify(
         + extra_scalars,
         axis=0,
     )
-    result = msm_mod.msm(curve, scalars, points)
+    result = _msm_impl().msm(curve, scalars, points)
     return jnp.logical_and(jc.is_identity(curve, result), jnp.all(u_ok))
 
 

@@ -128,6 +128,59 @@ def padd_select_rows(c, p, q, keep_q_mask):
     return jnp.where(keep_q_mask[None, None, :] != 0, q, added)
 
 
+def padd_mixed_rows(c: CurveSpec, p: jax.Array, q: jax.Array) -> jax.Array:
+    """Mixed addition (RCB16 Alg 8, a=0): p projective + q with Z2 == 1.
+
+    11 muls + 2 small-const muls + 13 add/sub (vs 12 + 2 + 19 for the
+    full add) — the bucket-accumulation scan's q operands are always
+    affine inputs (SRS / decoded commitments), so the scan rides this.
+    Complete for every p including the identity; INVALID if q is the
+    identity — callers mask that case (padd_mixed_select_rows)."""
+    f = c.base
+    m = lambda u, v: rows.mul_r(f, u, v)
+    a_ = lambda u, v: rows.add_r(f, u, v)
+    s = lambda u, v: rows.sub_r(f, u, v)
+    x1, y1, z1 = p[0], p[1], p[2]
+    x2, y2 = q[0], q[1]
+
+    t0 = m(x1, x2)
+    t1 = m(y1, y2)
+    t3 = a_(x2, y2)
+    t4 = a_(x1, y1)
+    t3 = m(t3, t4)
+    t4 = a_(t0, t1)
+    t3 = s(t3, t4)
+    t4 = m(y2, z1)
+    t4 = a_(t4, y1)
+    y3 = m(x2, z1)
+    y3 = a_(y3, x1)
+    x3 = a_(t0, t0)
+    t0 = a_(x3, t0)
+    t2 = rows.mul_small_r(f, z1, B3)
+    z3 = a_(t1, t2)
+    t1 = s(t1, t2)
+    y3 = rows.mul_small_r(f, y3, B3)
+    x3 = m(t4, y3)
+    t2 = m(t3, t1)
+    x3 = s(t2, x3)
+    y3 = m(y3, t0)
+    t1 = m(t1, z3)
+    y3 = a_(t1, y3)
+    t0 = m(t0, t3)
+    z3 = m(z3, t4)
+    z3 = a_(z3, t0)
+    return jnp.stack([x3, y3, z3], axis=0)
+
+
+def padd_mixed_select_rows(c, p, q, keep_q_mask, q_inf_mask):
+    """Segmented-scan combine on mixed adds:
+    keep_q ? q : (q_inf ? p : p +mixed q). q's Z row must be exactly 0
+    (identity) or 1 (affine) — true for every aff_to_rep / SRS point."""
+    added = padd_mixed_rows(c, p, q)
+    res = jnp.where(q_inf_mask[None, None, :] != 0, p, added)
+    return jnp.where(keep_q_mask[None, None, :] != 0, q, res)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers (grid over the lane axis)
 # ---------------------------------------------------------------------------
@@ -210,4 +263,37 @@ def padd_select(c: CurveSpec, p, q, keep_q_mask):
         out_specs=_point_spec(),
         out_shape=jax.ShapeDtypeStruct((3, REP_LIMBS, npad), jnp.int32),
     )(p2, q2, m2)
+    return out[..., :n]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def padd_mixed_select(c: CurveSpec, p, q, keep_q_mask, q_inf_mask):
+    """Fused mixed-add segmented combine (see padd_mixed_select_rows)."""
+    n = p.shape[-1]
+    if not use_pallas():
+        return padd_mixed_select_rows(c, p, q, keep_q_mask, q_inf_mask)
+    npad = -(-n // BLOCK) * BLOCK
+    p2, q2 = _pad_lanes(p, npad), _pad_lanes(q, npad)
+    m2 = _pad_lanes(keep_q_mask.astype(jnp.int32), npad)
+    # padded lanes must not take the mixed-add path on zeroed q operands
+    i2 = _pad_lanes(q_inf_mask.astype(jnp.int32), npad)
+    if npad != n:
+        lane = jnp.arange(npad, dtype=jnp.int32)
+        i2 = jnp.where(lane >= n, 1, i2)
+
+    def kernel(p_ref, q_ref, m_ref, i_ref, o_ref):
+        o_ref[:] = padd_mixed_select_rows(
+            c, p_ref[:], q_ref[:], m_ref[:], i_ref[:]
+        )
+
+    mask_spec = pl.BlockSpec(
+        (BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(npad // BLOCK,),
+        in_specs=[_point_spec(), _point_spec(), mask_spec, mask_spec],
+        out_specs=_point_spec(),
+        out_shape=jax.ShapeDtypeStruct((3, REP_LIMBS, npad), jnp.int32),
+    )(p2, q2, m2, i2)
     return out[..., :n]

@@ -58,6 +58,15 @@ def _padd_select(c, p, q, keep_q):
     return pk.padd_select(c, pf, qf, mf).reshape(p.shape)
 
 
+def _padd_mixed_select(c, p, q, keep_q, q_inf):
+    lanes = math.prod(p.shape[2:])
+    pf = p.reshape(3, REP_LIMBS, lanes)
+    qf = q.reshape(3, REP_LIMBS, lanes)
+    mf = jnp.broadcast_to(keep_q, p.shape[2:]).reshape(lanes)
+    inff = jnp.broadcast_to(q_inf, p.shape[2:]).reshape(lanes)
+    return pk.padd_mixed_select(c, pf, qf, mf, inff).reshape(p.shape)
+
+
 def _pdouble(c, p):
     lanes = math.prod(p.shape[2:])
     return pk.pdouble(c, p.reshape(3, REP_LIMBS, lanes)).reshape(p.shape)
@@ -143,13 +152,18 @@ def bucket_sums_all_windows(c, pts_sorted, dig_sorted, G: int = 4096):
     dig_c = _to_chunks(dig_sorted, G)  # (T, W, G)
     ss_c = _to_chunks(seg_start, G)
     se_c = _to_chunks(seg_end, G)
+    # q operands are affine inputs (Z row exactly 0 or 1): the scan rides
+    # the cheaper mixed add, with identity q lanes masked to keep carry.
+    qinf_c = _to_chunks(
+        (pts_sorted[2, 0] == 0).astype(jnp.int32), G
+    )  # (T, W, G)
 
     ident = _ident(c, (W, G))
     widx = jax.lax.broadcasted_iota(jnp.int32, (W, G), 0)
 
     def body(carry, inp):
-        pts_t, ss_t, se_t, dig_t = inp
-        acc = _padd_select(c, carry, pts_t, ss_t)
+        pts_t, ss_t, se_t, dig_t, qinf_t = inp
+        acc = _padd_mixed_select(c, carry, pts_t, ss_t, qinf_t)
         # global bucket index: w * (NBUCKETS+1) + digit (dump at NBUCKETS)
         idx = jnp.where(
             (se_t != 0) & (dig_t != 0), dig_t, NBUCKETS
@@ -157,7 +171,7 @@ def bucket_sums_all_windows(c, pts_sorted, dig_sorted, G: int = 4096):
         return acc, (acc, idx)
 
     carry_out, (vals, idxs) = jax.lax.scan(
-        body, ident, (pts_c, ss_c, se_c, dig_c)
+        body, ident, (pts_c, ss_c, se_c, dig_c, qinf_c)
     )
 
     # one scatter of all emissions (digits unique per window except dump)
@@ -277,6 +291,21 @@ def msm_rows(
     point in rows layout (3, L, 1).
     """
     N = scalars.shape[0]
+    # Pad N up to a multiple of the chunk width G with (0, identity)
+    # pairs (zero digits land in the junk bucket; identity points are
+    # absorbed by the complete adds). This keeps G large for arbitrary N
+    # — e.g. the batched verifier's SRS+virtual-row point counts — at
+    # <G/N relative overhead, instead of collapsing G to gcd-like sizes.
+    G = min(G, 1 << max(0, math.ceil(math.log2(max(N, 1)))))
+    pad = -N % G
+    if pad:
+        scalars = jnp.concatenate(
+            [scalars, jnp.zeros((pad, NLIMBS), jnp.int32)]
+        )
+        points_rows = jnp.concatenate(
+            [points_rows, _ident(c, (pad,))], axis=-1
+        )
+        N += pad
     digits = jnp.moveaxis(scalars, -1, 0)  # (W, N), unsigned in [0, 8191]
 
     # signed-digit recoding: d + carry -> (mag, sign) with mag <= 4096.
@@ -302,8 +331,6 @@ def msm_rows(
     y_sel = jnp.where(neg_sorted.reshape(W * N) != 0, y_neg, y)
     pts_sorted = pts_sorted.at[1].set(y_sel.reshape(REP_LIMBS, W, N))
 
-    while N % G:
-        G //= 2
     buckets = bucket_sums_all_windows(c, pts_sorted, dig_sorted, G)
     suffix = _chunked_prefix(c, buckets, reverse=True)  # (3, L, W, NB)
     totals = _reduce_last(c, suffix[..., 1:])  # (3, L, W)

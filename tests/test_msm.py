@@ -58,6 +58,25 @@ def test_pmsm_multichunk_matches_host(rng):
     assert got == want
 
 
+def test_pmsm_identities_and_padding(rng):
+    """Identity input points (the mixed-add scan must mask them) plus a
+    point count that is not a multiple of the chunk width G (exercising
+    the (0, identity) padding added for the batched verifier's arbitrary
+    MSM sizes)."""
+    from mina_bridge_tpu.ops import pmsm
+
+    c, pts, ks, dp, dk = setup_case(rng, 45)
+    pts[3] = None
+    pts[44] = None
+    dp = jc.from_affine_ints(c, pts)
+    out = jax.jit(pmsm.msm, static_argnums=(0, 3))(c, dk, dp, 16)
+    got = jc.to_affine_ints(c, out)[0]
+    want = hc.msm(
+        c, [k for k, p in zip(ks, pts) if p], [p for p in pts if p]
+    )
+    assert got == want
+
+
 def test_msm_sharded_matches_host(rng):
     c, pts, ks, dp, dk = setup_case(rng, 32)
     devs = jax.devices()
