@@ -63,9 +63,13 @@ class Circuit:
     wiring[(col, row)] = (col', row') — the permutation sends each cell of
     the first PERMUTS columns to the next cell in its copy-cycle.
 
-    Lookups (plookup-style, always structurally present): rows with
-    q_lookup=1 constrain w0 to be a member of `lookup_table` (sorted
-    ascending; entry 0 doubles as the non-lookup dummy).
+    Lookups (kimchi-shape, always structurally present): JOINT_WIDTH-wide
+    tables with ids, joint-combined per row with the transcript's joint
+    combiner; up to LOOKUPS_PER_ROW queries per row, selected by the
+    disjoint pattern selectors (legacy q_lookup, xor, rangecheck,
+    lookup_rt — see gates.lookup_queries). The primary table (id 0)
+    contains the all-zero dummy row. `rt_size` reserves runtime-table
+    rows whose col1 values are supplied by the prover at proving time.
     """
 
     domain: Domain
@@ -75,6 +79,9 @@ class Circuit:
     wiring: dict
     lookup_table: list[int] = dataclasses.field(default_factory=lambda: [0])
     q_lookup: list[int] = dataclasses.field(default_factory=list)
+    xor_bits: int = 0  # xor-table nibble width (0 = table absent)
+    range_bits: int = 0  # range-table limb width (0 = table absent)
+    rt_size: int = 0  # runtime-table rows (0 = table absent)
 
     @property
     def n(self) -> int:
@@ -98,11 +105,47 @@ class Circuit:
     def coeff_coeffs(self) -> list[list[int]]:
         return [ifft(self.domain, col) for col in self.coeffs]
 
-    def table_evals(self) -> list[int]:
-        """Lookup table padded to n by repeating the last entry."""
-        t = sorted(self.lookup_table)
-        assert len(t) <= self.n
-        return t + [t[-1]] * (self.n - len(t))
+    def table_rows(self) -> list[tuple[int, int, int, int]]:
+        """All fixed table rows as (col0, col1, col2, id) tuples, in
+        committed order: primary, xor, range, runtime-index, zero pad.
+        Runtime rows carry col1 = 0 — the prover's rt poly supplies it."""
+        rows = [(v, 0, 0, G.TABLE_ID_PRIMARY) for v in sorted(self.lookup_table)]
+        if self.xor_bits:
+            w = 1 << self.xor_bits
+            rows += [
+                (a, b, a ^ b, G.TABLE_ID_XOR)
+                for a in range(w)
+                for b in range(w)
+            ]
+        if self.range_bits:
+            rows += [
+                (v, 0, 0, G.TABLE_ID_RANGE)
+                for v in range(1 << self.range_bits)
+            ]
+        rows += [(k, 0, 0, G.TABLE_ID_RUNTIME) for k in range(self.rt_size)]
+        assert len(rows) <= self.n, (
+            f"{len(rows)} table rows exceed domain {self.n}"
+        )
+        return rows + [(0, 0, 0, 0)] * (self.n - len(rows))
+
+    def rt_rows(self) -> range:
+        """Domain rows occupied by the runtime table."""
+        start = (
+            len(self.lookup_table)
+            + ((1 << self.xor_bits) ** 2 if self.xor_bits else 0)
+            + ((1 << self.range_bits) if self.range_bits else 0)
+        )
+        return range(start, start + self.rt_size)
+
+    def table_column_evals(self) -> list[list[int]]:
+        """JOINT_WIDTH col evals + ids + rt_sel (5 lists of length n)."""
+        rows = self.table_rows()
+        cols = [[r[k] for r in rows] for k in range(3)]
+        ids = [r[3] for r in rows]
+        rt_sel = [0] * self.n
+        for i in self.rt_rows():
+            rt_sel[i] = 1
+        return cols + [ids, rt_sel]
 
     def q_lookup_evals(self) -> list[int]:
         q = list(self.q_lookup) or [0] * self.n
@@ -135,6 +178,24 @@ class Circuit:
         for i, q in enumerate(self.q_lookup_evals()):
             if q:
                 assert w[0][i] in table, f"lookup failed at row {i}"
+        xw = 1 << self.xor_bits
+        for i in range(n):
+            if self.sel[G.GATE_XOR][i]:
+                for q in range(G.LOOKUPS_PER_ROW):
+                    a, b, c = w[3 + q][i], w[7 + q][i], w[11 + q][i]
+                    assert a < xw and b < xw and (a ^ b) == c, (
+                        f"xor lookup failed at row {i} slot {q}"
+                    )
+            if self.sel[G.GATE_RANGECHECK][i]:
+                for q in range(G.LOOKUPS_PER_ROW):
+                    assert w[1 + q][i] < (1 << self.range_bits), (
+                        f"range lookup failed at row {i} slot {q}"
+                    )
+            if self.sel[G.GATE_LOOKUP_RT][i]:
+                for q in range(3):
+                    assert w[1 + 2 * q][i] < self.rt_size, (
+                        f"runtime lookup index out of range at row {i}"
+                    )
 
 
 class CircuitBuilder:
@@ -151,10 +212,69 @@ class CircuitBuilder:
         self.npub = 0
         self.lookup_table: list[int] = [0]
         self.lookup_rows: list[int] = []
+        self.xor_bits = 0
+        self.range_bits = 0
+        self.rt_size = 0
 
     def set_lookup_table(self, table: list[int]) -> None:
         assert 0 in table, "table entry 0 is the non-lookup dummy"
         self.lookup_table = sorted(set(table))
+
+    def enable_xor(self, bits: int) -> None:
+        """Add the (2^bits)^2-row XOR table (id 1)."""
+        self.xor_bits = bits
+
+    def enable_range(self, bits: int) -> None:
+        """Add the 2^bits-row range table (id 2)."""
+        self.range_bits = bits
+
+    def set_runtime_table(self, size: int) -> None:
+        """Reserve a `size`-row runtime table (id 3); values are supplied
+        per proof via prove(..., runtime_table=[...])."""
+        self.rt_size = size
+
+    def xor_gate(self) -> dict:
+        """One xor row: in1 ^ in2 = out over 4*xor_bits bits.
+        Witness: fill the nibble cells little-endian."""
+        assert self.xor_bits
+        row = len(self.rows)
+        coeffs = [0] * COEFFS
+        coeffs[0] = 1 << self.xor_bits
+        self.rows.append((G.GATE_XOR, coeffs))
+        return {
+            "row": row,
+            "in1": (0, row),
+            "in2": (1, row),
+            "out": (2, row),
+            "nibs1": [(3 + q, row) for q in range(G.LOOKUPS_PER_ROW)],
+            "nibs2": [(7 + q, row) for q in range(G.LOOKUPS_PER_ROW)],
+            "nibs_out": [(11 + q, row) for q in range(G.LOOKUPS_PER_ROW)],
+        }
+
+    def range_gate(self) -> dict:
+        """One rangecheck row: w0 < 2^(4*range_bits)."""
+        assert self.range_bits
+        row = len(self.rows)
+        coeffs = [0] * COEFFS
+        coeffs[0] = 1 << self.range_bits
+        self.rows.append((G.GATE_RANGECHECK, coeffs))
+        return {
+            "row": row,
+            "value": (0, row),
+            "limbs": [(1 + q, row) for q in range(G.LOOKUPS_PER_ROW)],
+        }
+
+    def lookup_rt_gate(self) -> dict:
+        """One runtime-lookup row: 3 (index, value) queries into the
+        runtime table. ALL three pairs must hold valid queries (the
+        always-on shape) — repeat a pair to look up fewer."""
+        assert self.rt_size
+        row = len(self.rows)
+        self.rows.append((G.GATE_LOOKUP_RT, None))
+        return {
+            "row": row,
+            "pairs": [((1 + 2 * q, row), (2 + 2 * q, row)) for q in range(3)],
+        }
 
     def lookup_row(self) -> tuple[int, int]:
         """A constraint-free row whose w0 must be in the lookup table."""
@@ -349,4 +469,7 @@ class CircuitBuilder:
             wiring=wiring,
             lookup_table=self.lookup_table,
             q_lookup=q_lookup,
+            xor_bits=self.xor_bits,
+            range_bits=self.range_bits,
+            rt_size=self.rt_size,
         )

@@ -30,6 +30,9 @@ GATE_COMPLETE_ADD = "complete_add"
 GATE_VARBASEMUL = "varbasemul"
 GATE_ENDOMUL = "endomul"
 GATE_ENDOMULSCALAR = "endomulscalar"
+GATE_XOR = "xor"
+GATE_RANGECHECK = "rangecheck"
+GATE_LOOKUP_RT = "lookup_rt"
 GATE_ORDER = (
     GATE_GENERIC,
     GATE_POSEIDON,
@@ -37,12 +40,29 @@ GATE_ORDER = (
     GATE_VARBASEMUL,
     GATE_ENDOMUL,
     GATE_ENDOMULSCALAR,
+    GATE_XOR,
+    GATE_RANGECHECK,
+    GATE_LOOKUP_RT,
 )
 
 ROUNDS_PER_ROW = 5
 VBMUL_BITS_PER_CHUNK = 5  # varbasemul: 5 scalar bits per 2-row chunk
 ENDOMUL_BITS_PER_ROW = 4  # endomul: 4 scalar bits (2 crumbs) per row
 EMSCALAR_CRUMBS_PER_ROW = 8  # endomulscalar: 8 two-bit crumbs per row
+
+# --- lookup argument shape (kimchi lookup/constraints.rs structure) ---
+LOOKUPS_PER_ROW = 4  # kimchi max_lookups_per_row
+NSORTED = LOOKUPS_PER_ROW + 1  # sorted-multiset columns s_0..s_4
+JOINT_WIDTH = 3  # max table width (xor: in1, in2, out)
+# fixed table ids; the joint-combined entry is
+#   col0 + j*col1 + j^2*col2 + j^3*table_id
+# so the id rides the JOINT_WIDTH-th power of the joint combiner
+# (kimchi's table_id_combiner). Table 0 must contain the all-zero row:
+# its joint value 0 is the dummy for inactive query slots.
+TABLE_ID_PRIMARY = 0
+TABLE_ID_XOR = 1
+TABLE_ID_RANGE = 2
+TABLE_ID_RUNTIME = 3
 
 
 @dataclasses.dataclass
@@ -336,6 +356,158 @@ def endomulscalar_constraints(ops: FieldOps, row: RowView, p: int) -> list:
     return out
 
 
+def xor_constraints(ops: FieldOps, row: RowView) -> list:
+    """Xor gate (kimchi Xor16 role): w0 ^ w1 = w2 checked nibble-wise via
+    LOOKUPS_PER_ROW joint lookups into the XOR table. Layout:
+      w0=in1, w1=in2, w2=out,
+      w3..w6 = in1 nibbles, w7..w10 = in2 nibbles, w11..w14 = out nibbles
+    (little-endian, nibble width = c0's log2: c0 = 2^bits).
+    3 recomposition constraints; nibble ranges come from the table."""
+    c0 = row.c[0]
+    out = []
+    for base, full in ((3, row.w[0]), (7, row.w[1]), (11, row.w[2])):
+        acc = row.w[base + LOOKUPS_PER_ROW - 1]
+        for q in range(LOOKUPS_PER_ROW - 2, -1, -1):
+            acc = ops.add(ops.mul(acc, c0), row.w[base + q])
+        out.append(ops.sub(full, acc))
+    return out
+
+
+def rangecheck_constraints(ops: FieldOps, row: RowView) -> list:
+    """Range-check gate (kimchi RangeCheck0 role): w0 < 2^(4*bits) via 4
+    limb lookups into the range table. Layout: w0 = value, w1..w4 = limbs
+    (little-endian, limb width = log2(c0)). 1 recomposition constraint;
+    limb ranges come from the table. Chain rows for wider values."""
+    c0 = row.c[0]
+    acc = row.w[LOOKUPS_PER_ROW]
+    for q in range(LOOKUPS_PER_ROW - 1, 0, -1):
+        acc = ops.add(ops.mul(acc, c0), row.w[q])
+    return [ops.sub(row.w[0], acc)]
+
+
+def lookup_rt_constraints(ops: FieldOps, row: RowView) -> list:
+    """Runtime-lookup gate (kimchi Lookup gate role): 3 (index, value)
+    queries (w1,w2), (w3,w4), (w5,w6) into the runtime table. Pure
+    lookups — no polynomial constraints."""
+    return []
+
+
+def lookup_queries(ops: FieldOps, row: RowView, selectors, q_lookup, j_pows):
+    """The LOOKUPS_PER_ROW query-slot values f_q as selector-weighted
+    joint combinations (j_pows = [1, j, j^2, j^3]); inactive slots
+    contribute the dummy 0. Shared by the host prover (witness values +
+    coset evals), host verifier and device verifier (opened evals).
+
+    Patterns (disjoint — one lookup kind per row):
+      legacy  (q_lookup):        slot 0 = w0 into the primary table
+      xor     (sel[xor]):        slot q = (w[3+q], w[7+q], w[11+q])
+      range   (sel[rangecheck]): slot q = w[1+q]
+      runtime (sel[lookup_rt]):  slot q<3 = (w[1+2q], w[2+2q])
+    """
+    j1, j2, j3 = j_pows[1], j_pows[2], j_pows[3]
+    out = []
+    for q in range(LOOKUPS_PER_ROW):
+        terms = []
+        if q == 0:
+            terms.append(ops.mul(q_lookup, row.w[0]))
+        xor_joint = ops.lin(
+            row.w[3 + q],
+            ops.mul(j1, row.w[7 + q]),
+            ops.mul(j2, row.w[11 + q]),
+            ops.mul(j3, ops.const(TABLE_ID_XOR)),
+        )
+        terms.append(ops.mul(selectors[GATE_XOR], xor_joint))
+        rc_joint = ops.add(
+            row.w[1 + q], ops.mul(j3, ops.const(TABLE_ID_RANGE))
+        )
+        terms.append(ops.mul(selectors[GATE_RANGECHECK], rc_joint))
+        if q < 3:
+            rt_joint = ops.lin(
+                row.w[1 + 2 * q],
+                ops.mul(j1, row.w[2 + 2 * q]),
+                ops.mul(j3, ops.const(TABLE_ID_RUNTIME)),
+            )
+            terms.append(ops.mul(selectors[GATE_LOOKUP_RT], rt_joint))
+        out.append(ops.lin(*terms))
+    return out
+
+
+def lookup_f_product(ops: FieldOps, row: RowView, selectors, q_lookup, j_pows, gamma):
+    """Prod_q (gamma + f_q) in kimchi's degree-bounded disjoint-selector
+    form: gamma^4 (1 - sum_p sel_p) + sum_p sel_p prod_q (gamma + q_pq).
+    Equal to prod_q (gamma + lookup_queries(...)[q]) ON the domain (where
+    selectors are 0/1 and disjoint) but of polynomial degree 5, which
+    keeps the aggregation constraint inside the 7n-quotient budget."""
+    j1, j2, j3 = j_pows[1], j_pows[2], j_pows[3]
+    one = ops.const(1)
+
+    def prod(factors):
+        acc = None
+        for f in factors:
+            acc = f if acc is None else ops.mul(acc, f)
+        return acc
+
+    g4 = ops.mul(ops.mul(gamma, gamma), ops.mul(gamma, gamma))
+    # legacy: (g + w0) g^3
+    legacy = ops.mul(
+        ops.add(gamma, row.w[0]), ops.mul(gamma, ops.mul(gamma, gamma))
+    )
+    xor_p = prod(
+        [
+            ops.add(
+                gamma,
+                ops.lin(
+                    row.w[3 + q],
+                    ops.mul(j1, row.w[7 + q]),
+                    ops.mul(j2, row.w[11 + q]),
+                    ops.mul(j3, ops.const(TABLE_ID_XOR)),
+                ),
+            )
+            for q in range(LOOKUPS_PER_ROW)
+        ]
+    )
+    rc_p = prod(
+        [
+            ops.add(
+                gamma,
+                ops.add(
+                    row.w[1 + q], ops.mul(j3, ops.const(TABLE_ID_RANGE))
+                ),
+            )
+            for q in range(LOOKUPS_PER_ROW)
+        ]
+    )
+    rt_p = ops.mul(
+        prod(
+            [
+                ops.add(
+                    gamma,
+                    ops.lin(
+                        row.w[1 + 2 * q],
+                        ops.mul(j1, row.w[2 + 2 * q]),
+                        ops.mul(j3, ops.const(TABLE_ID_RUNTIME)),
+                    ),
+                )
+                for q in range(3)
+            ]
+        ),
+        gamma,
+    )
+    sels = [
+        (q_lookup, legacy),
+        (selectors[GATE_XOR], xor_p),
+        (selectors[GATE_RANGECHECK], rc_p),
+        (selectors[GATE_LOOKUP_RT], rt_p),
+    ]
+    sel_sum = None
+    acc = None
+    for s, pr in sels:
+        term = ops.mul(s, pr)
+        acc = term if acc is None else ops.add(acc, term)
+        sel_sum = s if sel_sum is None else ops.add(sel_sum, s)
+    return ops.add(acc, ops.mul(ops.sub(one, sel_sum), g4))
+
+
 def n_constraints(ps: PoseidonSpec) -> dict[str, int]:
     return {
         GATE_GENERIC: 1,
@@ -344,6 +516,9 @@ def n_constraints(ps: PoseidonSpec) -> dict[str, int]:
         GATE_VARBASEMUL: 1 + 4 * VBMUL_BITS_PER_CHUNK,
         GATE_ENDOMUL: 11,
         GATE_ENDOMULSCALAR: EMSCALAR_CRUMBS_PER_ROW + 3,
+        GATE_XOR: 3,
+        GATE_RANGECHECK: 1,
+        GATE_LOOKUP_RT: 0,
     }
 
 
@@ -365,6 +540,9 @@ def gate_constraints(ops: FieldOps, row: RowView, ctx: GateCtx, public: Any) -> 
         GATE_VARBASEMUL: varbasemul_constraints(ops, row),
         GATE_ENDOMUL: endomul_constraints(ops, row, ctx.endo),
         GATE_ENDOMULSCALAR: endomulscalar_constraints(ops, row, ctx.p),
+        GATE_XOR: xor_constraints(ops, row),
+        GATE_RANGECHECK: rangecheck_constraints(ops, row),
+        GATE_LOOKUP_RT: lookup_rt_constraints(ops, row),
     }
 
 
@@ -391,4 +569,5 @@ def all_gate_constraints(
 
 N_GATE_CONSTRAINTS = (
     1 + ROUNDS_PER_ROW * WIDTH + 7 + (1 + 4 * VBMUL_BITS_PER_CHUNK) + 11 + 11
-)  # 66
+    + 3 + 1 + 0  # xor, rangecheck, lookup_rt
+)  # 70

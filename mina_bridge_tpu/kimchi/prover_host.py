@@ -19,8 +19,11 @@ evaluations; PARITY D3):
     absorb accumulator sg commitments (x, y each)
     absorb the public commitment sum_i p_i L_i + H (x, y) — kimchi's
         blinded public commitment (blinder 1; PARITY D10)
-    absorb w_comm[15], h1_comm, h2_comm (x, y each)
-    squeeze beta_l, gamma_l, beta, gamma   (raw 128-bit)
+    absorb w_comm[15], rt_comm (x, y each)
+    squeeze joint_combiner                 (endo)
+    absorb s_comm[NSORTED] (x, y each)
+    squeeze beta, gamma                    (raw 128-bit; shared by the
+        permutation and lookup arguments, as in kimchi)
     absorb z_comm, zl_comm; squeeze alpha  (endo)
     absorb t_comm[7]; squeeze zeta         (endo)
     squeeze fq_digest                      (full element)
@@ -66,21 +69,28 @@ from .circuit import (
 from .domain import Domain, coset_fft, coset_ifft, fft, ifft, poly_eval
 
 T_CHUNKS = 7
-N_LOOKUP_OPENED = 5  # h1, h2, z_lookup, table, q_lookup
+NSORTED = G.NSORTED  # 5 sorted-multiset columns (kimchi shape)
+# lookup-opened rows: s0..s4, z_lookup, joint table, q_lookup, runtime
+# table, runtime selector
+N_LOOKUP_OPENED = NSORTED + 5  # 10
 # opening order (prover-opened rows): w15, z, sigma6 (sigma[6] lives in
-# ft), coeffs15, sel(6 gates), h1, h2, z_lookup, table, q_lookup.
-# The t chunks fold into ft and are not opened (PARITY D5).
+# ft), coeffs15, sel(9 gates), s0..s4, z_lookup, t_joint, q_lookup, rt,
+# rt_sel. The t chunks fold into ft and are not opened (PARITY D5); the
+# t_joint row's commitment is the j-combination of index/rt commitments
+# and enters the MSM as virtual rows.
 N_OPENED = (
     COLUMNS + 1 + (PERMUTS - 1) + COEFFS + len(G.GATE_ORDER) + N_LOOKUP_OPENED
-)  # 48
+)  # 56
 # verifier-computed rows prepended to the v-combine, after any carried
 # accumulators: [public, ft]
 N_VERIFIER_ROWS = 2
 # alpha powers: gates, then permutation (recurrence*zkpm, L0 boundary,
-# L_{n-ZK_ROWS} boundary), then the 4 lookup constraints
+# L_{n-ZK_ROWS} boundary), then the 8 lookup constraints (aggregation
+# recurrence, Z_L(0)=1, Z_L(n-1)=1, 4 sorted-column overlaps, runtime
+# support)
 ALPHA_PERM = G.N_GATE_CONSTRAINTS
 ALPHA_LOOKUP = ALPHA_PERM + 3
-N_ALPHAS = ALPHA_LOOKUP + 4
+N_ALPHAS = ALPHA_LOOKUP + 4 + NSORTED - 1
 
 
 @dataclasses.dataclass
@@ -91,15 +101,15 @@ class VerifierIndexHost:
     sigma_comm: list  # 7 affine points
     coeff_comm: list  # 15 affine points
     sel_comm: dict  # gate name -> affine point
-    table_comm: object  # lookup table commitment
-    qlk_comm: object  # lookup selector commitment
+    table_comm: list  # JOINT_WIDTH col comms + ids comm + rt_sel comm
+    qlk_comm: object  # legacy lookup selector commitment
     shifts: tuple[int, ...]
     sigma_coeffs: list
     coeff_coeffs: list
     sel_coeffs: dict
-    table_coeffs: list
+    table_coeffs: list  # JOINT_WIDTH col coeffs + ids + rt_sel
     qlk_coeffs: list
-    table_dummy: int
+    rt_rows: object  # domain rows occupied by the runtime table
 
     def digest(self) -> int:
         """Poseidon hash of all index commitments (binds the circuit)."""
@@ -108,7 +118,8 @@ class VerifierIndexHost:
             self.sigma_comm
             + self.coeff_comm
             + [self.sel_comm[g] for g in G.GATE_ORDER]
-            + [self.table_comm, self.qlk_comm]
+            + list(self.table_comm)
+            + [self.qlk_comm]
         )
         for pt in pts:
             sponge.absorb(pt[0] if pt else 0)
@@ -122,8 +133,8 @@ class VerifierIndexHost:
 class HostProof:
     w_comm: list  # 15 affine
     z_comm: tuple
-    h1_comm: tuple  # lookup sorted halves
-    h2_comm: tuple
+    s_comm: list  # NSORTED lookup sorted-column commitments
+    rt_comm: tuple  # runtime-table commitment (zero poly if unused)
     zl_comm: tuple  # lookup aggregation
     t_comm: list  # 7 affine (folded into ft by the verifier, not opened)
     evals: list  # N_OPENED x 2 scalar ints, OPEN_ORDER
@@ -149,8 +160,9 @@ def setup(circuit: Circuit, curve: CurveSpec, g: list, h) -> VerifierIndexHost:
     sigma_coeffs = [ifft(circuit.domain, s) for s in circuit.sigma_evals()]
     coeff_coeffs = circuit.coeff_coeffs()
     sel_coeffs = circuit.sel_coeffs()
-    table_evals = circuit.table_evals()
-    table_coeffs = ifft(circuit.domain, table_evals)
+    table_coeffs = [
+        ifft(circuit.domain, col) for col in circuit.table_column_evals()
+    ]  # col0, col1, col2, ids, rt_sel
     qlk_coeffs = ifft(circuit.domain, circuit.q_lookup_evals())
     return VerifierIndexHost(
         curve=curve,
@@ -161,7 +173,9 @@ def setup(circuit: Circuit, curve: CurveSpec, g: list, h) -> VerifierIndexHost:
         sel_comm={
             k: ipa.host_commit(curve, g, h, c, 0) for k, c in sel_coeffs.items()
         },
-        table_comm=ipa.host_commit(curve, g, h, table_coeffs, 0),
+        table_comm=[
+            ipa.host_commit(curve, g, h, c, 0) for c in table_coeffs
+        ],
         qlk_comm=ipa.host_commit(curve, g, h, qlk_coeffs, 0),
         shifts=shifts(circuit.domain.field, circuit.domain.log_size),
         sigma_coeffs=sigma_coeffs,
@@ -169,7 +183,7 @@ def setup(circuit: Circuit, curve: CurveSpec, g: list, h) -> VerifierIndexHost:
         sel_coeffs=sel_coeffs,
         table_coeffs=table_coeffs,
         qlk_coeffs=qlk_coeffs,
-        table_dummy=table_evals[0],
+        rt_rows=circuit.rt_rows(),
     )
 
 
@@ -186,27 +200,31 @@ def _absorb_point(sponge: HostSponge, pt) -> None:
 
 
 def opened_polys(index: VerifierIndexHost, w_coeffs, z_coeffs, lookup_coeffs):
-    """Coefficient vectors in OPEN_ORDER (sigma[6] and t live in ft)."""
-    h1_c, h2_c, zl_c = lookup_coeffs
+    """Coefficient vectors in OPEN_ORDER (sigma[6] and t live in ft).
+    lookup_coeffs = (s_coeffs[NSORTED], zl_c, t_joint_c, rt_c)."""
+    s_c, zl_c, tj_c, rt_c = lookup_coeffs
     return (
         list(w_coeffs)
         + [z_coeffs]
         + list(index.sigma_coeffs[: PERMUTS - 1])
         + list(index.coeff_coeffs)
         + [index.sel_coeffs[g] for g in G.GATE_ORDER]
-        + [h1_c, h2_c, zl_c, index.table_coeffs, index.qlk_coeffs]
+        + list(s_c)
+        + [zl_c, tj_c, index.qlk_coeffs, rt_c, index.table_coeffs[4]]
     )
 
 
 def opened_comms(index: VerifierIndexHost, w_comm, z_comm, lookup_comms):
-    h1, h2, zl = lookup_comms
+    """lookup_comms = (s_comm[NSORTED], zl, t_joint, rt)."""
+    s_cm, zl, tj, rt = lookup_comms
     return (
         list(w_comm)
         + [z_comm]
         + list(index.sigma_comm[: PERMUTS - 1])
         + list(index.coeff_comm)
         + [index.sel_comm[g] for g in G.GATE_ORDER]
-        + [h1, h2, zl, index.table_comm, index.qlk_comm]
+        + list(s_cm)
+        + [zl, tj, index.qlk_comm, rt, index.table_comm[4]]
     )
 
 
@@ -273,6 +291,7 @@ def prove(
     h,
     rng,
     prev_challenges=(),
+    runtime_table=None,
 ) -> HostProof:
     curve = index.curve
     dom = circuit.domain
@@ -317,25 +336,69 @@ def prove(
     for pt in w_comm:
         _absorb_point(sponge, pt)
 
-    # 1b. lookup: f values, sorted halves h1/h2, commitments
-    table = circuit.table_evals()
+    # 1b. lookup (kimchi shape): runtime-table commitment, joint
+    # combiner, joint table values, per-row query values, sorted
+    # multiset columns s_0..s_{NSORTED-1}
     qlk = circuit.q_lookup_evals()
-    dummy = index.table_dummy
-    f_vals = [
-        (qlk[i] * witness[0][i] + (1 - qlk[i]) * dummy) % ps for i in range(n)
+    if runtime_table is None:
+        runtime_table = [0] * circuit.rt_size
+    assert len(runtime_table) == circuit.rt_size
+    rt_evals = [0] * n
+    for k, i in enumerate(circuit.rt_rows()):
+        rt_evals[i] = runtime_table[k] % ps
+    rt_coeffs = ifft(dom, rt_evals)
+    rt_blind = rng.randrange(ps)
+    rt_comm = ipa.host_commit(curve, g, h, rt_coeffs, rt_blind)
+    _absorb_point(sponge, rt_comm)
+    joint = ipa.host_endo_chal(curve, sponge)
+    j_pows = [pow(joint, k, ps) for k in range(G.JOINT_WIDTH + 1)]
+
+    # joint-combined table values: col0 + j*(col1 + rt) + j^2*col2 + j^3*id
+    tcols = circuit.table_column_evals()  # col0, col1, col2, ids, rt_sel
+    t_vals = [
+        (
+            tcols[0][i]
+            + j_pows[1] * (tcols[1][i] + rt_evals[i])
+            + j_pows[2] * tcols[2][i]
+            + j_pows[3] * tcols[3][i]
+        )
+        % ps
+        for i in range(n)
     ]
-    table_set = sorted(circuit.lookup_table)
-    s_sorted = sorted(f_vals[: n - 1] + table)
-    h1_vals, h2_vals = s_sorted[:n], s_sorted[n - 1 :]
-    assert len(h2_vals) == n and h1_vals[-1] == h2_vals[0]
-    h1_coeffs, h2_coeffs = ifft(dom, h1_vals), ifft(dom, h2_vals)
-    h1_blind, h2_blind = rng.randrange(ps), rng.randrange(ps)
-    h1_comm = ipa.host_commit(curve, g, h, h1_coeffs, h1_blind)
-    h2_comm = ipa.host_commit(curve, g, h, h2_coeffs, h2_blind)
-    _absorb_point(sponge, h1_comm)
-    _absorb_point(sponge, h2_comm)
-    beta_l = ipa.host_squeeze_128(sponge)
-    gamma_l = ipa.host_squeeze_128(sponge)
+    # per-row query values f_q (0 = dummy for inactive slots)
+    hops = G.host_ops(ps)
+    f_rows = []
+    for i in range(n - 1):
+        row = G.RowView(
+            w=[witness[c][i] for c in range(COLUMNS)],
+            w_next=[witness[c][(i + 1) % n] for c in range(COLUMNS)],
+            c=[circuit.coeffs[c][i] for c in range(COEFFS)],
+        )
+        sels = {g_: circuit.sel[g_][i] for g_ in G.GATE_ORDER}
+        f_rows.append(G.lookup_queries(hops, row, sels, qlk[i], j_pows))
+    # sorted multiset: walk t in committed order, inserting each query
+    # value directly after a table row holding it (plookup "sorted by t")
+    first_row: dict = {}
+    for i, tv in enumerate(t_vals):
+        first_row.setdefault(tv, i)
+    per_row_fs: list[list[int]] = [[] for _ in range(n)]
+    for fs_ in f_rows:
+        for f in fs_:
+            assert f in first_row, f"lookup value {f} not in joint table"
+            per_row_fs[first_row[f]].append(f)
+    s_seq: list[int] = []
+    for i in range(n):
+        s_seq.append(t_vals[i])
+        s_seq.extend(per_row_fs[i])
+    assert len(s_seq) == NSORTED * n - (NSORTED - 1)
+    s_vals = [s_seq[q * (n - 1) : q * (n - 1) + n] for q in range(NSORTED)]
+    s_coeffs = [ifft(dom, v) for v in s_vals]
+    s_blinds = [rng.randrange(ps) for _ in range(NSORTED)]
+    s_comm = [
+        ipa.host_commit(curve, g, h, c, b) for c, b in zip(s_coeffs, s_blinds)
+    ]
+    for pt in s_comm:
+        _absorb_point(sponge, pt)
 
     beta = ipa.host_squeeze_128(sponge)
     gamma = ipa.host_squeeze_128(sponge)
@@ -365,22 +428,18 @@ def prove(
     z_blind = rng.randrange(ps)
     z_comm = ipa.host_commit(curve, g, h, z_coeffs, z_blind)
 
-    # 2b. lookup aggregation Z_L (plookup recurrence over rows 0..n-2)
-    gpb = gamma_l * (1 + beta_l) % ps
+    # 2b. lookup aggregation Z_L (plookup recurrence over rows 0..n-2,
+    # kimchi shape: LOOKUPS_PER_ROW query factors, NSORTED sorted factors)
+    gpb = gamma * (1 + beta) % ps
+    one_pb4 = pow(1 + beta, G.LOOKUPS_PER_ROW, ps)
     zl = [1]
     for i in range(n - 1):
-        num = (
-            (1 + beta_l)
-            * (gamma_l + f_vals[i])
-            % ps
-            * (gpb + table[i] + beta_l * table[(i + 1) % n])
-            % ps
-        )
-        den = (
-            (gpb + h1_vals[i] + beta_l * h1_vals[(i + 1) % n])
-            * (gpb + h2_vals[i] + beta_l * h2_vals[(i + 1) % n])
-            % ps
-        )
+        num = one_pb4 * (gpb + t_vals[i] + beta * t_vals[i + 1]) % ps
+        for f in f_rows[i]:
+            num = num * (gamma + f) % ps
+        den = 1
+        for q in range(NSORTED):
+            den = den * (gpb + s_vals[q][i] + beta * s_vals[q][i + 1]) % ps
         zl.append(zl[-1] * num % ps * pow(den, ps - 2, ps) % ps)
     assert zl[-1] == 1, "plookup aggregation does not close"
     zl_coeffs = ifft(dom, zl)
@@ -415,12 +474,25 @@ def prove(
     def ext_shift(coeffs):
         return ext([c * pow(dom.omega, i, ps) % ps for i, c in enumerate(coeffs)])
 
-    h1_ext, h1w_ext = ext(h1_coeffs), ext_shift(h1_coeffs)
-    h2_ext, h2w_ext = ext(h2_coeffs), ext_shift(h2_coeffs)
+    s_ext = [ext(c) for c in s_coeffs]
+    sw_ext = [ext_shift(c) for c in s_coeffs]
     zl_ext, zlw_ext = ext(zl_coeffs), ext_shift(zl_coeffs)
-    tbl_coeffs, qlk_coeffs = index.table_coeffs, index.qlk_coeffs
-    tbl_ext, tblw_ext = ext(tbl_coeffs), ext_shift(tbl_coeffs)
+    # joint table polynomial (coefficient-space j-combination)
+    tj_coeffs = [
+        (
+            index.table_coeffs[0][d]
+            + j_pows[1] * (index.table_coeffs[1][d] + rt_coeffs[d])
+            + j_pows[2] * index.table_coeffs[2][d]
+            + j_pows[3] * index.table_coeffs[3][d]
+        )
+        % ps
+        for d in range(n)
+    ]
+    tj_ext, tjw_ext = ext(tj_coeffs), ext_shift(tj_coeffs)
+    qlk_coeffs = index.qlk_coeffs
     qlk_ext = ext(qlk_coeffs)
+    rt_ext = ext(rt_coeffs)
+    rtsel_ext = ext(index.table_coeffs[4])
     lnm1_ext = ext(ifft(dom, [0] * (n - 1) + [1]))
     lzk_ext = ext(
         ifft(dom, [int(i == n - ZK_ROWS) for i in range(n)])
@@ -457,24 +529,15 @@ def prove(
         p2 = (z_ext[i] * num - zw_ext[i] * den) * zkpm_i % ps
         p1 = l0_ext[i] * (z_ext[i] - 1) % ps
         p3 = lzk_ext[i] * (z_ext[i] - 1) % ps
-        # lookup constraints
-        f_i = (qlk_ext[i] * w_ext[0][i] + (1 - qlk_ext[i]) * dummy) % ps
-        A = (
-            (gpb + h1_ext[i] + beta_l * h1w_ext[i])
-            * (gpb + h2_ext[i] + beta_l * h2w_ext[i])
-            % ps
-        )
-        Bv = (
-            (1 + beta_l)
-            * (gamma_l + f_i)
-            % ps
-            * (gpb + tbl_ext[i] + beta_l * tblw_ext[i])
-            % ps
-        )
+        # lookup constraints (kimchi shape)
+        F_i = G.lookup_f_product(ops, row, selectors, qlk_ext[i], j_pows, gamma)
+        A = 1
+        for q in range(NSORTED):
+            A = A * (gpb + s_ext[q][i] + beta * sw_ext[q][i]) % ps
+        Bv = one_pb4 * F_i % ps * (gpb + tj_ext[i] + beta * tjw_ext[i]) % ps
         lk_rec = (xi - omega_last) * (zlw_ext[i] * A - zl_ext[i] * Bv) % ps
         lk_0 = l0_ext[i] * (zl_ext[i] - 1) % ps
         lk_last = lnm1_ext[i] * (zl_ext[i] - 1) % ps
-        lk_overlap = lnm1_ext[i] * (h1_ext[i] - h2w_ext[i]) % ps
         combined = (
             gate
             + alpha_pows[ALPHA_PERM] * p2
@@ -483,8 +546,15 @@ def prove(
             + alpha_pows[ALPHA_LOOKUP] * lk_rec
             + alpha_pows[ALPHA_LOOKUP + 1] * lk_0
             + alpha_pows[ALPHA_LOOKUP + 2] * lk_last
-            + alpha_pows[ALPHA_LOOKUP + 3] * lk_overlap
-        ) % ps
+        )
+        for q in range(NSORTED - 1):
+            combined += alpha_pows[ALPHA_LOOKUP + 3 + q] * (
+                lnm1_ext[i] * (s_ext[q][i] - sw_ext[q + 1][i]) % ps
+            )
+        combined += alpha_pows[ALPHA_LOOKUP + 3 + NSORTED - 1] * (
+            (1 - rtsel_ext[i]) * rt_ext[i] % ps
+        )
+        combined %= ps
         zh = (pow(xi, n, ps) - 1) % ps
         t_evals.append(combined * pow(zh, ps - 2, ps) % ps)
     t_coeffs = coset_ifft(dom8, t_evals, shift)
@@ -500,15 +570,27 @@ def prove(
     zeta_w = zeta * dom.omega % ps
     fq_digest = sponge.squeeze()
 
-    # 4. evaluations in OPEN_ORDER (sigma6 / t chunks fold into ft)
-    polys = opened_polys(index, w_coeffs, z_coeffs, (h1_coeffs, h2_coeffs, zl_coeffs))
+    # 4. evaluations in OPEN_ORDER (sigma6 / t chunks fold into ft).
+    # The joint-table row: poly/blind/comm are the j-combination of the
+    # index's column polys + the runtime poly (homomorphic).
+    tj_blind = j_pows[1] * rt_blind % ps
+    tj_comm = index.table_comm[0]
+    tj_comm = hc.add(
+        curve, tj_comm, hc.mul(curve, j_pows[1], hc.add(curve, index.table_comm[1], rt_comm))
+    )
+    tj_comm = hc.add(curve, tj_comm, hc.mul(curve, j_pows[2], index.table_comm[2]))
+    tj_comm = hc.add(curve, tj_comm, hc.mul(curve, j_pows[3], index.table_comm[3]))
+    polys = opened_polys(
+        index, w_coeffs, z_coeffs, (s_coeffs, zl_coeffs, tj_coeffs, rt_coeffs)
+    )
     blinds = (
         w_blinds
         + [z_blind]
         + [0] * (PERMUTS - 1 + COEFFS + len(G.GATE_ORDER))
-        + [h1_blind, h2_blind, zl_blind, 0, 0]
+        + s_blinds
+        + [zl_blind, tj_blind, 0, rt_blind, 0]
     )
-    comms = opened_comms(index, w_comm, z_comm, (h1_comm, h2_comm, zl_comm))
+    comms = opened_comms(index, w_comm, z_comm, (s_comm, zl_comm, tj_comm, rt_comm))
     evals = [[poly_eval(c, zeta, ps), poly_eval(c, zeta_w, ps)] for c in polys]
 
     # linearization polynomial ft + its second evaluation point
@@ -554,8 +636,8 @@ def prove(
         prev_challenges=[(list(c), sg) for c, sg in prev_challenges],
         w_comm=w_comm,
         z_comm=z_comm,
-        h1_comm=h1_comm,
-        h2_comm=h2_comm,
+        s_comm=s_comm,
+        rt_comm=rt_comm,
         zl_comm=zl_comm,
         t_comm=t_comm,
         evals=evals,
@@ -593,10 +675,11 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     _absorb_point(sponge, hc.add(curve, pub_comm, h))
     for pt in proof.w_comm:
         _absorb_point(sponge, pt)
-    _absorb_point(sponge, proof.h1_comm)
-    _absorb_point(sponge, proof.h2_comm)
-    beta_l = ipa.host_squeeze_128(sponge)
-    gamma_l = ipa.host_squeeze_128(sponge)
+    _absorb_point(sponge, proof.rt_comm)
+    joint = ipa.host_endo_chal(curve, sponge)
+    j_pows = [pow(joint, k, ps) for k in range(G.JOINT_WIDTH + 1)]
+    for pt in proof.s_comm:
+        _absorb_point(sponge, pt)
     beta = ipa.host_squeeze_128(sponge)
     gamma = ipa.host_squeeze_128(sponge)
     _absorb_point(sponge, proof.z_comm)
@@ -651,11 +734,14 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     off += COEFFS
     sel_z = {g_: ev[off + i][0] for i, g_ in enumerate(G.GATE_ORDER)}
     off += len(G.GATE_ORDER)
-    h1_z, h1_zw = ev[off]
-    h2_z, h2_zw = ev[off + 1]
-    zl_z, zl_zw = ev[off + 2]
-    tbl_z, tbl_zw = ev[off + 3]
-    qlk_z = ev[off + 4][0]
+    s_z = [ev[off + q][0] for q in range(NSORTED)]
+    s_zw = [ev[off + q][1] for q in range(NSORTED)]
+    off += NSORTED
+    zl_z, zl_zw = ev[off]
+    tj_z, tj_zw = ev[off + 1]
+    qlk_z = ev[off + 2][0]
+    rt_z = ev[off + 3][0]
+    rtsel_z = ev[off + 4][0]
 
     zh = dom.vanishing_eval(zeta)
     row = G.RowView(w=w_z, w_next=w_zw, c=coeff_z)
@@ -675,23 +761,19 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     l0 = dom.lagrange_eval(0, zeta)
     p1 = l0 * (z_z - 1) % ps
     p3 = dom.lagrange_eval(n - ZK_ROWS, zeta) * (z_z - 1) % ps
-    # lookup constraints at zeta
-    gpb = gamma_l * (1 + beta_l) % ps
-    f_z = (qlk_z * w_z[0] + (1 - qlk_z) * index.table_dummy) % ps
-    A = (gpb + h1_z + beta_l * h1_zw) * (gpb + h2_z + beta_l * h2_zw) % ps
-    Bv = (
-        (1 + beta_l)
-        * (gamma_l + f_z)
-        % ps
-        * (gpb + tbl_z + beta_l * tbl_zw)
-        % ps
-    )
+    # lookup constraints at zeta (kimchi shape)
+    gpb = gamma * (1 + beta) % ps
+    one_pb4 = pow(1 + beta, G.LOOKUPS_PER_ROW, ps)
+    F_z = G.lookup_f_product(ops, row, sel_z, qlk_z, j_pows, gamma)
+    A = 1
+    for q in range(NSORTED):
+        A = A * (gpb + s_z[q] + beta * s_zw[q]) % ps
+    Bv = one_pb4 * F_z % ps * (gpb + tj_z + beta * tj_zw) % ps
     omega_last = pow(dom.omega, n - 1, ps)
     lnm1 = dom.lagrange_eval(n - 1, zeta)
     lk_rec = (zeta - omega_last) * (zl_zw * A - zl_z * Bv) % ps
     lk_0 = l0 * (zl_z - 1) % ps
     lk_last = lnm1 * (zl_z - 1) % ps
-    lk_overlap = lnm1 * (h1_z - h2_zw) % ps
 
     # S = all-scalar part; ft(zeta) must equal -S (checked by the opening)
     S = (
@@ -702,8 +784,14 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
         + alpha_pows[ALPHA_LOOKUP] * lk_rec
         + alpha_pows[ALPHA_LOOKUP + 1] * lk_0
         + alpha_pows[ALPHA_LOOKUP + 2] * lk_last
-        + alpha_pows[ALPHA_LOOKUP + 3] * lk_overlap
-    ) % ps
+    )
+    for q in range(NSORTED - 1):
+        S += alpha_pows[ALPHA_LOOKUP + 3 + q] * (
+            lnm1 * (s_z[q] - s_zw[q + 1]) % ps
+        )
+    S += alpha_pows[ALPHA_LOOKUP + 3 + NSORTED - 1] * (
+        (1 - rtsel_z) * rt_z % ps
+    )
     ft_eval0 = (-S) % ps
 
     # verifier-side commitments: public = sum p_i L_i (Lagrange comms);
@@ -721,11 +809,19 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
         )
         zp = zp * zn % ps
 
+    tj_comm = index.table_comm[0]
+    tj_comm = hc.add(
+        curve,
+        tj_comm,
+        hc.mul(curve, j_pows[1], hc.add(curve, index.table_comm[1], proof.rt_comm)),
+    )
+    tj_comm = hc.add(curve, tj_comm, hc.mul(curve, j_pows[2], index.table_comm[2]))
+    tj_comm = hc.add(curve, tj_comm, hc.mul(curve, j_pows[3], index.table_comm[3]))
     comms = opened_comms(
         index,
         proof.w_comm,
         proof.z_comm,
-        (proof.h1_comm, proof.h2_comm, proof.zl_comm),
+        (proof.s_comm, proof.zl_comm, tj_comm, proof.rt_comm),
     )
     # verifier-computed rows for the carried accumulators: opening
     # b_poly(chals, .) against sg at a random zeta decides the deferred

@@ -40,6 +40,7 @@ from .prover_host import (
     N_ALPHAS,
     N_LOOKUP_OPENED,
     N_OPENED,
+    NSORTED,
     T_CHUNKS,
     HostProof,
     VerifierIndexHost,
@@ -60,7 +61,6 @@ from .prover_host import (
         "n_inv_rep",
         "omega_pows_rep",
         "shifts_rep",
-        "dummy_rep",
     ],
     meta_fields=["curve", "n", "log_n", "npub", "field_name"],
 )
@@ -75,7 +75,8 @@ class DeviceVerifierIndex:
     log_n: int
     npub: int
     field_name: str
-    # (30, 2, NLIMBS): sigma[7] + coeffs[15] + sel[6] + table + q_lookup
+    # (37, 2, NLIMBS): sigma[7] + coeffs[15] + sel[9] + table cols
+    # [col0, col1, col2, ids, rt_sel] + q_lookup
     index_comms: np.ndarray
     # (max(npub,1), 2, NLIMBS): Lagrange-basis commitments L_i for the
     # public-input row (kimchi keeps these in the SRS per domain)
@@ -89,7 +90,6 @@ class DeviceVerifierIndex:
     n_inv_rep: np.ndarray  # (REP_LIMBS,)
     omega_pows_rep: np.ndarray  # (npub, REP_LIMBS)
     shifts_rep: np.ndarray  # (PERMUTS, 1, REP_LIMBS)
-    dummy_rep: np.ndarray  # (REP_LIMBS,) lookup dummy value
 
     @classmethod
     def from_host(cls, index: VerifierIndexHost, g, h) -> "DeviceVerifierIndex":
@@ -104,7 +104,8 @@ class DeviceVerifierIndex:
         comms = [aff(p) for p in index.sigma_comm]
         comms += [aff(p) for p in index.coeff_comm]
         comms += [aff(index.sel_comm[g_]) for g_ in G.GATE_ORDER]
-        comms += [aff(index.table_comm), aff(index.qlk_comm)]
+        comms += [aff(p) for p in index.table_comm]  # 5 table-col comms
+        comms += [aff(index.qlk_comm)]
         n = index.domain.n
         fs = index.curve.scalar
         omega = index.domain.omega
@@ -142,14 +143,13 @@ class DeviceVerifierIndex:
                 [rep(pow(omega, i, fs.p)) for i in range(max(index.npub, 1))]
             ),
             shifts_rep=np.stack([rep(k) for k in index.shifts])[:, None],
-            dummy_rep=rep(index.table_dummy),
         )
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "public", "w_comm", "z_comm", "h1_comm", "h2_comm", "zl_comm",
+        "public", "w_comm", "z_comm", "s_comm", "rt_comm", "zl_comm",
         "t_comm", "evals", "ft_eval1", "lr", "delta", "sg", "z1", "z2",
         "u_sel", "u_hint", "prev_chals", "prev_sg",
     ],
@@ -162,11 +162,11 @@ class DeviceProofs:
     public: jax.Array  # (B, npub, NLIMBS)
     w_comm: jax.Array  # (B, 15, 2, NLIMBS)
     z_comm: jax.Array  # (B, 2, NLIMBS)
-    h1_comm: jax.Array  # (B, 2, NLIMBS)
-    h2_comm: jax.Array  # (B, 2, NLIMBS)
+    s_comm: jax.Array  # (B, NSORTED, 2, NLIMBS) lookup sorted columns
+    rt_comm: jax.Array  # (B, 2, NLIMBS) runtime-table commitment
     zl_comm: jax.Array  # (B, 2, NLIMBS)
     t_comm: jax.Array  # (B, 7, 2, NLIMBS)
-    evals: jax.Array  # (B, N_OPENED=48, 2, NLIMBS)
+    evals: jax.Array  # (B, N_OPENED=56, 2, NLIMBS)
     ft_eval1: jax.Array  # (B, NLIMBS): ft(zeta*omega), PARITY D5
     lr: jax.Array  # (B, k, 2, 2, NLIMBS)
     delta: jax.Array  # (B, 2, NLIMBS)
@@ -214,8 +214,10 @@ class DeviceProofs:
                 np.stack([np.stack([aff(c) for c in p.w_comm]) for p in proofs])
             ),
             z_comm=jnp.asarray(np.stack([aff(p.z_comm) for p in proofs])),
-            h1_comm=jnp.asarray(np.stack([aff(p.h1_comm) for p in proofs])),
-            h2_comm=jnp.asarray(np.stack([aff(p.h2_comm) for p in proofs])),
+            s_comm=jnp.asarray(
+                np.stack([np.stack([aff(c) for c in p.s_comm]) for p in proofs])
+            ),
+            rt_comm=jnp.asarray(np.stack([aff(p.rt_comm) for p in proofs])),
             zl_comm=jnp.asarray(np.stack([aff(p.zl_comm) for p in proofs])),
             t_comm=jnp.asarray(
                 np.stack([np.stack([aff(c) for c in p.t_comm]) for p in proofs])
@@ -315,13 +317,16 @@ def verify(
             ("absorb", proofs.w_comm[:, i, 1]),
         ]
     ops += [
-        ("absorb", proofs.h1_comm[:, 0]),
-        ("absorb", proofs.h1_comm[:, 1]),
-        ("absorb", proofs.h2_comm[:, 0]),
-        ("absorb", proofs.h2_comm[:, 1]),
+        ("absorb", proofs.rt_comm[:, 0]),
+        ("absorb", proofs.rt_comm[:, 1]),
     ]
-    ops += [("squeeze",), ("squeeze",)]  # beta_l, gamma_l (lookup)
-    ops += [("squeeze",), ("squeeze",)]  # beta, gamma
+    ops += [("squeeze",)]  # joint combiner (endo)
+    for q in range(NSORTED):
+        ops += [
+            ("absorb", proofs.s_comm[:, q, 0]),
+            ("absorb", proofs.s_comm[:, q, 1]),
+        ]
+    ops += [("squeeze",), ("squeeze",)]  # beta, gamma (perm + lookup)
     ops += [("absorb", proofs.z_comm[:, 0]), ("absorb", proofs.z_comm[:, 1])]
     ops += [("absorb", proofs.zl_comm[:, 0]), ("absorb", proofs.zl_comm[:, 1])]
     ops += [("squeeze",)]  # alpha
@@ -333,13 +338,13 @@ def verify(
     ops += [("squeeze",)]  # zeta
     ops += [("squeeze",)]  # fq_digest -> FR sponge
     sq, fq_sponge = poseidon.run_transcript(ps_fq, ops, batch_shape=(B,))
-    beta_l, gamma_l, beta, gamma = [ffl.from_canon(x & mask128) for x in sq[:4]]
-    # alpha/zeta go through the endo map (kimchi ScalarChallenge)
-    alpha, zeta = [
+    beta, gamma = [ffl.from_canon(x & mask128) for x in sq[1:3]]
+    # joint/alpha/zeta go through the endo map (kimchi ScalarChallenge)
+    joint, alpha, zeta = [
         ipa.endo_to_field_device(fs, curve.endo_scalar, x & mask128)
-        for x in sq[4:6]
+        for x in (sq[0], sq[3], sq[4])
     ]
-    fq_digest = sq[6]  # canonical base-field limbs
+    fq_digest = sq[5]  # canonical base-field limbs
 
     # ---- scalar identity pieces at zeta (opened evals) ----
     ev = ffl.from_canon(proofs.evals)  # (B, 48, 2, L)
@@ -357,11 +362,14 @@ def verify(
     off += COEFFS
     sel_z = {g_: ev[:, off + i, 0] for i, g_ in enumerate(G.GATE_ORDER)}
     off += len(G.GATE_ORDER)
-    h1_z, h1_zw = ev[:, off, 0], ev[:, off, 1]
-    h2_z, h2_zw = ev[:, off + 1, 0], ev[:, off + 1, 1]
-    zl_z, zl_zw = ev[:, off + 2, 0], ev[:, off + 2, 1]
-    tbl_z, tbl_zw = ev[:, off + 3, 0], ev[:, off + 3, 1]
-    qlk_z = ev[:, off + 4, 0]
+    s_z = [ev[:, off + q, 0] for q in range(NSORTED)]
+    s_zw = [ev[:, off + q, 1] for q in range(NSORTED)]
+    off += NSORTED
+    zl_z, zl_zw = ev[:, off, 0], ev[:, off, 1]
+    tj_z, tj_zw = ev[:, off + 1, 0], ev[:, off + 1, 1]
+    qlk_z = ev[:, off + 2, 0]
+    rt_z = ev[:, off + 3, 0]
+    rtsel_z = ev[:, off + 4, 0]
 
     mul = lambda a, b: ffl.mul(fs, a, b)
     add = lambda a, b: ffl.add(fs, a, b)
@@ -463,25 +471,20 @@ def verify(
     )
     p3 = mul(lzk, sub(z_z, one))
 
-    # lookup constraints at zeta
-    one_pl = add(one, beta_l)  # 1 + beta_l
-    gpb = mul(gamma_l, one_pl)
-    f_z = add(
-        mul(qlk_z, w_z[0]),
-        mul(
-            sub(one, qlk_z),
-            jnp.broadcast_to(jnp.asarray(index.dummy_rep), zeta.shape).astype(
-                jnp.int32
-            ),
-        ),
-    )
-    A_lk = mul(
-        add(gpb, add(h1_z, mul(beta_l, h1_zw))),
-        add(gpb, add(h2_z, mul(beta_l, h2_zw))),
-    )
+    # lookup constraints at zeta (kimchi shape)
+    one_pl = add(one, beta)  # 1 + beta
+    gpb = mul(gamma, one_pl)
+    pb2 = mul(one_pl, one_pl)
+    one_pb4 = mul(pb2, pb2)  # (1+beta)^LOOKUPS_PER_ROW
+    j2 = mul(joint, joint)
+    j_pows = [one, joint, j2, mul(j2, joint)]
+    F_z = G.lookup_f_product(dev_ops, row, sel_z, qlk_z, j_pows, gamma)
+    A_lk = add(gpb, add(s_z[0], mul(beta, s_zw[0])))
+    for q in range(1, NSORTED):
+        A_lk = mul(A_lk, add(gpb, add(s_z[q], mul(beta, s_zw[q]))))
     B_lk = mul(
-        mul(one_pl, add(gamma_l, f_z)),
-        add(gpb, add(tbl_z, mul(beta_l, tbl_zw))),
+        mul(one_pb4, F_z),
+        add(gpb, add(tj_z, mul(beta, tj_zw))),
     )
     omega_last = jnp.asarray(index.omega_last_rep)[None]
     # L_{n-1}(zeta) = omega^{n-1} * zh / (n (zeta - omega^{n-1}))
@@ -492,7 +495,10 @@ def verify(
     lk_rec = mul(zml, sub(mul(zl_zw, A_lk), mul(zl_z, B_lk)))
     lk_0 = mul(l0, sub(zl_z, one))
     lk_last = mul(lnm1, sub(zl_z, one))
-    lk_overlap = mul(lnm1, sub(h1_z, h2_zw))
+    lk_overlaps = [
+        mul(lnm1, sub(s_z[q], s_zw[q + 1])) for q in range(NSORTED - 1)
+    ]
+    lk_rt = mul(sub(one, rtsel_z), rt_z)
 
     # S = the all-scalar part of the quotient identity; the committed
     # remainder is ft (sigma6 + t chunks), so ft(zeta) must equal -S.
@@ -513,12 +519,12 @@ def verify(
                 mul(alpha_pows[ALPHA_LOOKUP], lk_rec),
                 mul(alpha_pows[ALPHA_LOOKUP + 1], lk_0),
             ),
-            add(
-                mul(alpha_pows[ALPHA_LOOKUP + 2], lk_last),
-                mul(alpha_pows[ALPHA_LOOKUP + 3], lk_overlap),
-            ),
+            mul(alpha_pows[ALPHA_LOOKUP + 2], lk_last),
         ),
     )
+    for q in range(NSORTED - 1):
+        S = add(S, mul(alpha_pows[ALPHA_LOOKUP + 3 + q], lk_overlaps[q]))
+    S = add(S, mul(alpha_pows[ALPHA_LOOKUP + 3 + NSORTED - 1], lk_rt))
     ft0 = ffl.neg(fs, S)
     # ft's t-chunk coefficients: -Z_H(zeta) * zeta^(n i)
     t_scales = []
@@ -557,10 +563,13 @@ def verify(
         jnp.asarray(index.index_comms)[None], (B, n_idx, 2, NLIMBS)
     )
     # order must match prover_host: [prev accumulators], public, ft, w,
-    # z, sigma6+coeff+sel (index), h1, h2, zl, table+qlk (index).
-    # public/ft slots hold the identity; their real contributions enter
-    # as virtual rows (linear combinations of L_i / sigma6 / t points).
+    # z, sigma6+coeff+sel (index), s0..s4, zl, t_joint, qlk, rt, rt_sel.
+    # public/ft/t_joint slots hold the identity; their real contributions
+    # enter as virtual rows (linear combinations of L_i / sigma6 / t /
+    # table-column points).
     zero_rows = jnp.zeros((B, 2, 2, NLIMBS), jnp.int32)
+    tj_zero = jnp.zeros((B, 1, 2, NLIMBS), jnp.int32)
+    n_sel = len(G.GATE_ORDER)
     commitments = jnp.concatenate(
         ([proofs.prev_sg] if R else [])
         + [
@@ -568,14 +577,16 @@ def verify(
             proofs.w_comm,
             proofs.z_comm[:, None],
             idx_comms[:, : PERMUTS - 1],
-            idx_comms[:, PERMUTS : PERMUTS + COEFFS + len(G.GATE_ORDER)],
-            proofs.h1_comm[:, None],
-            proofs.h2_comm[:, None],
+            idx_comms[:, PERMUTS : PERMUTS + COEFFS + n_sel],
+            proofs.s_comm,
             proofs.zl_comm[:, None],
-            idx_comms[:, -2:],
+            tj_zero,
+            idx_comms[:, -1:],  # q_lookup
+            proofs.rt_comm[:, None],
+            idx_comms[:, -2:-1],  # rt_sel
         ],
         axis=1,
-    )  # (B, R + 2 + 48, 2, NLIMBS)
+    )  # (B, R + 2 + 56, 2, NLIMBS)
     pub_row = jnp.stack(
         [ffl.canon(fs, pub_eval), ffl.canon(fs, pub_eval_w)], axis=1
     )[:, None]
@@ -600,7 +611,8 @@ def verify(
         front = [ffl.canon(fs, bval)] + front
     evals_all = jnp.concatenate(front + [proofs.evals], axis=1)
 
-    # virtual rows: public = sum_i p_i L_i; ft = perm_ft sigma6 + t part
+    # virtual rows: public = sum_i p_i L_i; ft = perm_ft sigma6 + t part;
+    # t_joint = col0 + j (col1 + rt) + j^2 col2 + j^3 ids
     lag = jnp.asarray(index.lagrange_comm)
     virtual = []
     for i in range(npub):
@@ -609,6 +621,15 @@ def verify(
     virtual.append((R + 1, sigma6_comm, perm_ft))
     for i in range(T_CHUNKS):
         virtual.append((R + 1, proofs.t_comm[:, i], t_scales[i]))
+    tj_row = R + 2 + COLUMNS + 1 + (PERMUTS - 1) + COEFFS + n_sel + NSORTED + 1
+    tcol0 = PERMUTS + COEFFS + n_sel  # index_comms offset of table col0
+    idx_all = jnp.asarray(index.index_comms)
+    one_sc = jnp.broadcast_to(ffl.ones(fs), zeta.shape).astype(jnp.int32)
+    virtual.append((tj_row, idx_all[tcol0], one_sc))
+    virtual.append((tj_row, idx_all[tcol0 + 1], joint))
+    virtual.append((tj_row, proofs.rt_comm, joint))
+    virtual.append((tj_row, idx_all[tcol0 + 2], j2))
+    virtual.append((tj_row, idx_all[tcol0 + 3], j_pows[3]))
 
     openings = ipa.DeviceOpenings(
         commitments=commitments,

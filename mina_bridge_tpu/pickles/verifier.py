@@ -26,10 +26,21 @@ TPU-native pipeline implemented here:
          accumulators: sum_b w_b (sg_b - <s(chals_b), G>) == identity
          (commitment/ipa.py::batch_decide).
 
-Deviation (PARITY D7): the wrap circuit does not yet re-verify the step
-proof's scalar checks in-circuit (that needs the full pickles
-deferred-values gadget set); the step accumulator — the expensive,
-MSM-shaped part of that recursion — is what the decider checks here.
+Deferred values (pickles' step->wrap binding): the wrap proof's public
+input is [state_hash, deferred_digest] where deferred_digest is the Fq
+poseidon digest of the step verification's deferred accumulator — the
+folding challenges (split into 128-bit halves) and the `sg` commitment
+coordinates. `batch_verify_tips` recomputes the digest on device from
+the claimed accumulator and checks it against the wrap public input, so
+the wrap proof cryptographically binds the exact step accumulator the
+decider MSM then discharges — mirroring how pickles passes the step
+verifier's scalar results through the wrap circuit's public input
+(reference README.md:534-604).
+
+Deviation (PARITY D7): the wrap circuit itself does not re-derive the
+step transcript in-circuit (the full pickles deferred-values gadget
+set); the binding above + the decider MSM carry that recursion boundary
+here, and step proofs are fully host-verified at wrap time.
 """
 
 from __future__ import annotations
@@ -55,12 +66,13 @@ MAX_PROOFS_VERIFIED = 2  # pickles' per-proof accumulator arity
 
 
 @functools.cache
-def _setup(curve_name: str, log_n: int):
+def _setup(curve_name: str, log_n: int, npub: int = 1):
     """(circuit, host index, device index, g, h) for a hash-binding
-    circuit over the named curve: one public input = the state hash."""
+    circuit over the named curve with `npub` public inputs."""
     curve = {"pallas": PALLAS, "vesta": VESTA}[curve_name]
     b = CircuitBuilder(curve.scalar, log_n)
-    b.public_input()  # the state hash
+    for _ in range(npub):
+        b.public_input()
     circuit = b.build()
     g, h = srs_points_host(curve_name, circuit.n)
     index = prover_host.setup(circuit, curve, g, h)
@@ -69,13 +81,31 @@ def _setup(curve_name: str, log_n: int):
 
 
 def block_setup(log_n: int = BLOCK_LOG_N):
-    """Wrap-side (Pallas) setup — the proof the bridge actually receives."""
-    return _setup("pallas", log_n)
+    """Wrap-side (Pallas) setup — the proof the bridge actually receives.
+    Public inputs: [state_hash, deferred_digest]."""
+    return _setup("pallas", log_n, npub=2)
 
 
 def step_setup(log_n: int = STEP_LOG_N):
     """Step-side (Vesta) setup."""
     return _setup("vesta", log_n)
+
+
+def deferred_digest_host(chals: list[int], sg) -> int:
+    """Fq poseidon digest of a step accumulator: the deferred values the
+    wrap proof binds via its public input. chals are Fp (Vesta-scalar)
+    elements absorbed as 128-bit halves; sg coordinates are native Fq."""
+    from ..hash.poseidon import HostSponge
+    from ..hash.poseidon_params import poseidon_spec
+
+    sponge = HostSponge(poseidon_spec(PALLAS.scalar.name))
+    for c in chals:
+        lo, hi = ipa._split_scalar(VESTA, c)
+        sponge.absorb(lo)
+        sponge.absorb(hi)
+    sponge.absorb(sg[0] if sg else 0)
+    sponge.absorb(sg[1] if sg else 0)
+    return sponge.squeeze()
 
 
 def dummy_accumulator(curve_name: str = "pallas", log_n: int = BLOCK_LOG_N):
@@ -120,6 +150,9 @@ def prove_tip(
     step_proof = prover_host.prove(
         s_index, s_circuit, w, [state_hash % sp], s_g, s_h, rng
     )
+    # pickles invariant: a step proof is fully verified when it is
+    # wrapped; only its accumulator (the MSM claim) is deferred onward
+    assert prover_host.host_verify(s_index, step_proof, s_g, s_h)
     step_chals, step_sg = step_proof.accumulator()
 
     # --- wrap proof on Pallas carrying the pallas-side accumulator chain ---
@@ -130,9 +163,11 @@ def prove_tip(
         accs.append(dummy_accumulator("pallas", log_n))
     n = w_circuit.n
     w = [[0] * n for _ in range(COLUMNS)]
-    w[0][0] = state_hash % wp
+    digest = deferred_digest_host(step_chals, step_sg)
+    public = [state_hash % wp, digest]
+    w[0][0], w[0][1] = public
     wrap_proof = prover_host.prove(
-        w_index, w_circuit, w, [state_hash % wp], w_g, w_h, rng,
+        w_index, w_circuit, w, public, w_g, w_h, rng,
         prev_challenges=accs,
     )
     return TipProof(
@@ -193,6 +228,10 @@ def batch_verify_tips(
     step_log_n = log_n if step_log_n is None else step_log_n
     _, _, dindex, _, _ = block_setup(log_n)
     wrap_ok = kv.verify(dindex, dtips.wrap, rand_weights[:, :2])
+    # deferred-values binding: the wrap public input's second element
+    # must equal the digest of the step accumulator being decided
+    digest = _device_deferred_digest(dtips.acc_chals, dtips.acc_sg)
+    digest_ok = jnp.all(digest == dtips.wrap.public[:, 1])
     _, _, sdindex, _, _ = step_setup(step_log_n)
     acc_ok = ipa.batch_decide(
         VESTA,
@@ -201,4 +240,33 @@ def batch_verify_tips(
         dtips.acc_sg,
         rand_weights[:, 2],
     )
-    return jnp.logical_and(wrap_ok, acc_ok)
+    return jnp.logical_and(jnp.logical_and(wrap_ok, digest_ok), acc_ok)
+
+
+def _shift_right_128(c: jax.Array) -> jax.Array:
+    """(...,NLIMBS) canonical 13-bit limbs -> limbs of (value >> 128)."""
+    l = c[..., 9:]  # 128 = 9*13 + 11: drop 9 limbs, then shift 11 bits
+    nxt = jnp.concatenate([l[..., 1:], jnp.zeros_like(l[..., :1])], axis=-1)
+    out = (l >> 11) | ((nxt & ((1 << 11) - 1)) << 2)
+    pad = jnp.zeros(c.shape[:-1] + (NLIMBS - out.shape[-1],), c.dtype)
+    return jnp.concatenate([out, pad], axis=-1)
+
+
+def _device_deferred_digest(acc_chals: jax.Array, acc_sg: jax.Array):
+    """Batched Fq poseidon digest mirroring deferred_digest_host."""
+    from ..hash import poseidon
+    from ..hash.poseidon_params import poseidon_spec
+
+    B, k = acc_chals.shape[:2]
+    mask = jnp.asarray(ipa._MASK128)
+    ops: list = []
+    for i in range(k):
+        c = acc_chals[:, i]
+        ops.append(("absorb", c & mask))
+        ops.append(("absorb", _shift_right_128(c)))
+    ops += [("absorb", acc_sg[:, 0]), ("absorb", acc_sg[:, 1])]
+    ops.append(("squeeze",))
+    (digest,), _ = poseidon.run_transcript(
+        poseidon_spec(PALLAS.scalar.name), ops, batch_shape=(B,)
+    )
+    return digest

@@ -226,3 +226,69 @@ def test_lookup_circuit():
     bad[0][0] = 99 + v2
     with pytest.raises(AssertionError):
         circuit.check_witness(bad, [99 + v2])
+
+
+def _fill_xor(w, cells, bits, in1, in2):
+    out = in1 ^ in2
+    r = cells["row"]
+    mask = (1 << bits) - 1
+    w[0][r], w[1][r], w[2][r] = in1, in2, out
+    for q in range(G.LOOKUPS_PER_ROW):
+        w[3 + q][r] = (in1 >> (bits * q)) & mask
+        w[7 + q][r] = (in2 >> (bits * q)) & mask
+        w[11 + q][r] = (out >> (bits * q)) & mask
+    return out
+
+
+def test_kimchi_lookup_patterns():
+    """Kimchi-shape lookups: joint xor table, range table, runtime table
+    and the legacy single-column table coexisting in one circuit (table
+    ids + joint combiner + NSORTED sorted columns)."""
+    rng = random.Random(0x100D)
+    b = CircuitBuilder(FS, 4)
+    b.set_lookup_table([0, 5, 9])
+    b.enable_xor(1)
+    b.enable_range(1)
+    b.set_runtime_table(2)
+    lk = b.lookup_row()
+    xg = b.xor_gate()
+    rg = b.range_gate()
+    rt = b.lookup_rt_gate()
+    circuit = b.build()
+    n = circuit.n
+
+    w = [[0] * n for _ in range(COLUMNS)]
+    w[0][lk[1]] = 9
+    _fill_xor(w, xg, 1, 0b1010, 0b0110)
+    val = 11
+    r = rg["row"]
+    w[0][r] = val
+    for q in range(G.LOOKUPS_PER_ROW):
+        w[1 + q][r] = (val >> q) & 1
+    rt_data = [100, 200]
+    r = rt["row"]
+    for q, (i_, v_) in enumerate([(0, 100), (1, 200), (0, 100)]):
+        w[1 + 2 * q][r], w[2 + 2 * q][r] = i_, v_
+    circuit.check_witness(w, [])
+
+    g, h = srs_points_host("pallas", circuit.n)
+    index = prover_host.setup(circuit, PALLAS, g, h)
+    proof = prover_host.prove(
+        index, circuit, w, [], g, h, rng, runtime_table=rt_data
+    )
+    assert prover_host.host_verify(index, proof, g, h)
+
+    # runtime value not in the table: the sorted-multiset walk must fail
+    bad = [col[:] for col in w]
+    bad[2][rt["row"]] = 101
+    with pytest.raises(AssertionError):
+        prover_host.prove(
+            index, circuit, bad, [], g, h, random.Random(1),
+            runtime_table=rt_data,
+        )
+
+    # wrong xor output nibble: witness check rejects
+    bad2 = [col[:] for col in w]
+    bad2[11][xg["row"]] ^= 1
+    with pytest.raises(AssertionError):
+        circuit.check_witness(bad2, [])

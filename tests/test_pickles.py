@@ -98,3 +98,24 @@ def test_device_batch_verify_tips(tips):
         wrap=bad_wrap, acc_chals=dtips.acc_chals, acc_sg=dtips.acc_sg
     )
     assert not bool(pk.batch_verify_tips(bad2, rw))
+
+
+def test_deferred_digest_binds_accumulator(tips):
+    """PARITY D7: the wrap public input binds the step accumulator.
+    Swapping two internally-consistent accumulators between tips keeps
+    the decider MSM happy — only the deferred-values digest check can
+    reject it."""
+    tip1, tip2 = tips
+    dtips = pk.device_proofs([tip1, tip2])
+    rw = _rw(2)
+    swapped = pk.DeviceTips(
+        wrap=dtips.wrap,
+        acc_chals=dtips.acc_chals[::-1],
+        acc_sg=dtips.acc_sg[::-1],
+    )
+    assert not bool(pk.batch_verify_tips(swapped, rw))
+
+    # host digest matches the wrap public input's second element
+    assert tip1.wrap.public[1] == pk.deferred_digest_host(
+        tip1.step_acc_chals, tip1.step_acc_sg
+    )
