@@ -59,27 +59,29 @@ def main():
     z = jnp.zeros_like(x).at[:, 0].set(1)
     points = jnp.stack([x, y, z], axis=1)  # (N, 3, L)
 
-    rng = np.random.default_rng(0)
+    # Scalars are generated ON DEVICE from a seed (as in production,
+    # where they come from the on-device Fiat-Shamir transcript): fresh
+    # per iteration so the relayed device cannot serve a cached execution
+    # result (observed: repeating identical inputs returns in ~0.2ms),
+    # without measuring a 5 MB host->device transfer per iteration.
+    def msm_seeded(seed):
+        key = jax.random.key(seed)
+        s = jax.random.randint(
+            key, (N, NLIMBS), 0, 1 << 13, dtype=jnp.int32
+        )
+        s = s.at[:, -1].set(s[:, -1] & ((1 << 7) - 1))  # < 2^254 < p
+        return msm_mod.msm(PALLAS, s, points)
 
-    def fresh_scalars():
-        # random 254-bit scalars as canonical 13-bit limbs; distinct every
-        # call so the relayed device cannot serve a cached execution result
-        # (observed: repeating identical inputs returns in ~0.2ms).
-        s = rng.integers(0, 1 << 13, size=(N, NLIMBS), dtype=np.int32)
-        s[:, -1] &= (1 << 7) - 1  # keep < 2^254 < p
-        return jnp.asarray(s)
-
-    f = jax.jit(msm_mod.msm, static_argnums=0)
+    f = jax.jit(msm_seeded)
     t0 = time.time()
-    out = f(PALLAS, fresh_scalars(), points)
+    out = f(0)
     _ = np.asarray(out)  # hard sync: block_until_ready is unreliable here
     log(f"compile+first run: {time.time() - t0:.1f}s")
 
     iters = 5
-    batches = [fresh_scalars() for _ in range(iters)]
     t0 = time.time()
-    for s in batches:
-        out = f(PALLAS, s, points)
+    for i in range(iters):
+        out = f(i + 1)
         _ = np.asarray(out)
     dt = (time.time() - t0) / iters
     pps = N / dt

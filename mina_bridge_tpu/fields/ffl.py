@@ -138,7 +138,7 @@ def _normalize(
     return x, bounds
 
 
-def _conv(
+def _conv_schoolbook(
     a: jax.Array, ba: Bounds, b: jax.Array, bb: Bounds
 ) -> tuple[jax.Array, Bounds]:
     la, lb = len(ba), len(bb)
@@ -150,6 +150,54 @@ def _conv(
     else:
         for i in range(la):
             out = out.at[..., i : i + lb].add(b * a[..., i : i + 1])
+    return out, _conv_bounds(ba, bb)
+
+
+@functools.cache
+def _karatsuba_safe(ba: Bounds, bb: Bounds) -> bool:
+    """One-level subtractive Karatsuba is exact in int32 iff the middle
+    product of limb differences and the z0+z2 intermediate stay < 2^31
+    (the output limbs equal schoolbook limbs, same bound tuple)."""
+    la, lb = len(ba), len(bb)
+    if la != lb or la < 16 or la % 2:
+        return False
+    h = la // 2
+    bd_a = tuple(max(x, y) for x, y in zip(ba[:h], ba[h:]))
+    bd_b = tuple(max(x, y) for x, y in zip(bb[:h], bb[h:]))
+    bm = [0] * (2 * h - 1)
+    b00 = [0] * (2 * h - 1)
+    b11 = [0] * (2 * h - 1)
+    for i in range(h):
+        for j in range(h):
+            bm[i + j] += bd_a[i] * bd_b[j]
+            b00[i + j] += ba[i] * bb[j]
+            b11[i + j] += ba[h + i] * bb[h + j]
+    lim = 1 << 31
+    return all(v < lim for v in bm) and all(
+        x + y < lim for x, y in zip(b00, b11)
+    )
+
+
+def _conv(
+    a: jax.Array, ba: Bounds, b: jax.Array, bb: Bounds
+) -> tuple[jax.Array, Bounds]:
+    if not _karatsuba_safe(ba, bb):
+        return _conv_schoolbook(a, ba, b, bb)
+    la = len(ba)
+    h = la // 2
+    a0, a1 = a[..., :h], a[..., h:]
+    b0, b1 = b[..., :h], b[..., h:]
+    z0, _ = _conv_schoolbook(a0, ba[:h], b0, bb[:h])
+    z2, _ = _conv_schoolbook(a1, ba[h:], b1, bb[h:])
+    bd_a = tuple(max(x, y) for x, y in zip(ba[:h], ba[h:]))
+    bd_b = tuple(max(x, y) for x, y in zip(bb[:h], bb[h:]))
+    m, _ = _conv_schoolbook(a0 - a1, bd_a, b0 - b1, bd_b)
+    z1 = (z0 + z2) - m  # exact non-negative middle convolution
+    shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    out = jnp.zeros(shape + (2 * la - 1,), dtype=jnp.int32)
+    out = out.at[..., : 2 * h - 1].add(z0)
+    out = out.at[..., h : h + 2 * h - 1].add(z1)
+    out = out.at[..., 2 * h : 2 * h + 2 * h - 1].add(z2)
     return out, _conv_bounds(ba, bb)
 
 

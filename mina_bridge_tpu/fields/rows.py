@@ -27,6 +27,7 @@ from .ffl import (
     Bounds,
     _conv_bounds,
     _fold_const,
+    _karatsuba_safe,
     _spread_offset,
     _sub_offset,
 )
@@ -78,7 +79,7 @@ def _normalize_r(x, bounds, limit=LOOSE):
     return x, bounds
 
 
-def conv_r(a, ba: Bounds, b, bb: Bounds):
+def _conv_schoolbook_r(a, ba: Bounds, b, bb: Bounds):
     la, lb = len(ba), len(bb)
     shape = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
     B = jnp.broadcast_shapes(a.shape[-1:], b.shape[-1:])[0]
@@ -89,6 +90,29 @@ def conv_r(a, ba: Bounds, b, bb: Bounds):
     else:
         for i in range(la):
             out = _shift_add(out, b * a[..., i : i + 1, :], i)
+    return out, _conv_bounds(ba, bb)
+
+
+def conv_r(a, ba: Bounds, b, bb: Bounds):
+    la, lb = len(ba), len(bb)
+    if not _karatsuba_safe(ba, bb):
+        return _conv_schoolbook_r(a, ba, b, bb)
+    h = la // 2
+    a0, a1 = a[..., :h, :], a[..., h:, :]
+    b0, b1 = b[..., :h, :], b[..., h:, :]
+    z0, _ = _conv_schoolbook_r(a0, ba[:h], b0, bb[:h])
+    z2, _ = _conv_schoolbook_r(a1, ba[h:], b1, bb[h:])
+    # |a0-a1| bounds (signed diffs; _karatsuba_safe checked the product)
+    bd_a = tuple(max(x, y) for x, y in zip(ba[:h], ba[h:]))
+    bd_b = tuple(max(x, y) for x, y in zip(bb[:h], bb[h:]))
+    m, _ = _conv_schoolbook_r(a0 - a1, bd_a, b0 - b1, bd_b)
+    z1 = (z0 + z2) - m  # exact non-negative middle convolution
+    shape = jnp.broadcast_shapes(z0.shape[:-2], z1.shape[:-2])
+    B = jnp.broadcast_shapes(a.shape[-1:], b.shape[-1:])[0]
+    out = jnp.zeros(shape + (la + lb - 1, B), dtype=jnp.int32)
+    out = _shift_add(out, z0, 0)
+    out = _shift_add(out, z1, h)
+    out = _shift_add(out, z2, 2 * h)
     return out, _conv_bounds(ba, bb)
 
 

@@ -36,6 +36,46 @@ _cc.zstandard = None
 if getattr(_cc, "zstd", None) is not None:
     _cc.zstd = None
 
+# XLA's CPU LoadedExecutable.serialize() segfaults outright on some of
+# the largest verifier executables (it killed whole pytest runs at the
+# e2e wrap-verify shape). Run the entire persistent-cache put in a
+# forked child: a crash there costs only that cache entry. The child
+# only serializes + writes the file-based cache and _exits, so parent
+# state is untouched; a kill-timeout guards against fork/lock hangs.
+import time as _time
+import warnings as _warnings
+
+_orig_put = _cc.put_executable_and_time
+
+
+def _forked_put(cache_key, module_name, executable, backend, compile_time):
+    pid = os.fork()
+    if pid == 0:  # child
+        try:
+            _orig_put(cache_key, module_name, executable, backend, compile_time)
+            os._exit(0)
+        except BaseException:
+            os._exit(1)
+    deadline = _time.time() + 900.0
+    while _time.time() < deadline:
+        done, status = os.waitpid(pid, os.WNOHANG)
+        if done:
+            if status != 0:
+                _warnings.warn(
+                    f"persistent-cache put skipped for '{module_name}' "
+                    "(serialize crashed in child)"
+                )
+            return
+        _time.sleep(0.5)
+    os.kill(pid, 9)
+    os.waitpid(pid, 0)
+    _warnings.warn(
+        f"persistent-cache put timed out for '{module_name}' (child killed)"
+    )
+
+
+_cc.put_executable_and_time = _forked_put
+
 # The axon sitecustomize registers a TPU plugin at interpreter start and
 # pins the platform; env vars alone don't win. Force CPU via config too.
 jax.config.update("jax_platforms", "cpu")
