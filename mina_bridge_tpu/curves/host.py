@@ -141,6 +141,14 @@ def neg(c: CurveSpec, a: Point) -> Point:
 
 
 def mul(c: CurveSpec, k: int, pt: Point) -> Point:
+    from .. import native
+
+    k = k % c.scalar.p
+    if pt is None or k == 0:
+        return None
+    out = native.msm(c.base.p, [pt], [k])
+    if out != "fallback":
+        return out
     return jmul(c, k, pt)
 
 
@@ -158,6 +166,22 @@ def mul_affine_ladder(c: CurveSpec, k: int, pt: Point) -> Point:
 
 
 def msm(c: CurveSpec, scalars: list[int], points: list[Point]) -> Point:
+    """MSM: native (C++ Pippenger, native/src/pasta.cpp) when available;
+    fast_msm is the Python fallback and correctness oracle."""
+    from .. import native
+
+    pairs = [
+        (k % c.scalar.p, pt)
+        for k, pt in zip(scalars, points)
+        if pt is not None and k % c.scalar.p
+    ]
+    if not pairs:
+        return None
+    out = native.msm(
+        c.base.p, [pt for _, pt in pairs], [k for k, _ in pairs]
+    )
+    if out != "fallback":
+        return out
     return fast_msm(c, scalars, points)
 
 

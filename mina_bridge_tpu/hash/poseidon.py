@@ -176,6 +176,16 @@ class Sponge:
 # ---------------------------------------------------------------------------
 
 def host_permute(ps: PoseidonSpec, state: list[int]) -> list[int]:
+    from .. import native
+
+    out = native.poseidon_permute(ps, list(state))
+    if out is not None:
+        return out
+    return host_permute_py(ps, state)
+
+
+def host_permute_py(ps: PoseidonSpec, state: list[int]) -> list[int]:
+    """Pure-Python oracle for the native permutation."""
     p = ps.field.p
     st = list(state)
     for r in range(len(ps.round_constants)):

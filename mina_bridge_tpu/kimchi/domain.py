@@ -75,7 +75,19 @@ def _bit_reverse(a: list[int]) -> list[int]:
 
 
 def _ntt(a: list[int], root: int, p: int) -> list[int]:
-    """Iterative radix-2 NTT (in evaluation order)."""
+    """Iterative radix-2 NTT (in evaluation order). Dispatches to the
+    native (C++) kernel when available (native/src/pasta.cpp); this
+    Python body is the fallback and correctness oracle."""
+    from .. import native
+
+    if len(a) > 1:
+        out = native.ntt(p, a, root)
+        if out is not None:
+            return out
+    return _ntt_py(a, root, p)
+
+
+def _ntt_py(a: list[int], root: int, p: int) -> list[int]:
     n = len(a)
     a = _bit_reverse(a)
     length = 2
@@ -100,37 +112,47 @@ def fft(dom: Domain, coeffs: list[int]) -> list[int]:
     return _ntt(a, dom.omega, p)
 
 
+def _scale_geometric(p: int, a: list[int], s0: int, ratio: int) -> list[int]:
+    """[a_i * s0 * ratio^i], natively when available."""
+    from .. import native
+
+    out = native.scale_geometric(p, a, s0 % p, ratio % p)
+    if out is not None:
+        return out
+    sc = s0 % p
+    res = []
+    for c in a:
+        res.append(c * sc % p)
+        sc = sc * ratio % p
+    return res
+
+
 def ifft(dom: Domain, evals: list[int]) -> list[int]:
     p = dom.field.p
     a = _ntt([e % p for e in evals], dom.omega_inv, p)
-    return [x * dom.n_inv % p for x in a]
+    return _scale_geometric(p, a, dom.n_inv, 1)
 
 
 def coset_fft(dom: Domain, coeffs: list[int], shift: int) -> list[int]:
     """Evaluations on shift*H."""
     p = dom.field.p
-    sc = 1
-    scaled = []
     a = [c % p for c in coeffs[: dom.n]] + [0] * max(0, dom.n - len(coeffs))
-    for c in a:
-        scaled.append(c * sc % p)
-        sc = sc * shift % p
-    return _ntt(scaled, dom.omega, p)
+    return _ntt(_scale_geometric(p, a, 1, shift), dom.omega, p)
 
 
 def coset_ifft(dom: Domain, evals: list[int], shift: int) -> list[int]:
     p = dom.field.p
     a = ifft(dom, evals)
-    sinv = pow(shift, p - 2, p)
-    sc = 1
-    out = []
-    for c in a:
-        out.append(c * sc % p)
-        sc = sc * sinv % p
-    return out
+    return _scale_geometric(p, a, 1, pow(shift, p - 2, p))
 
 
 def poly_eval(coeffs: list[int], x: int, p: int) -> int:
+    from .. import native
+
+    if len(coeffs) > 32:
+        out = native.poly_eval(p, coeffs, [x % p])
+        if out is not None:
+            return out[0]
     acc = 0
     for c in reversed(coeffs):
         acc = (acc * x + c) % p

@@ -19,7 +19,7 @@ import subprocess
 import threading
 
 _DIR = pathlib.Path(__file__).parent
-_SRC = _DIR / "src" / "keccak.cpp"
+_SRCS = sorted((_DIR / "src").glob("*.cpp"))
 _LIB_DIR = pathlib.Path(
     os.environ.get("MINA_BRIDGE_TPU_NATIVE_DIR", str(_DIR / "lib"))
 )
@@ -35,16 +35,24 @@ def _build() -> bool:
             _LIB_DIR.mkdir(parents=True, exist_ok=True)
             tmp = _LIB.with_suffix(".so.tmp")
             subprocess.run(
-                [cxx, "-O3", "-shared", "-fPIC", "-o", str(tmp), str(_SRC)],
+                [cxx, "-O3", "-shared", "-fPIC", "-o", str(tmp)]
+                + [str(s) for s in _SRCS],
                 check=True,
                 capture_output=True,
-                timeout=120,
+                timeout=300,
             )
             os.replace(tmp, _LIB)
             return True
         except (OSError, subprocess.SubprocessError):
             continue
     return False
+
+
+def _stale() -> bool:
+    if not _LIB.exists():
+        return True
+    mt = _LIB.stat().st_mtime
+    return any(s.stat().st_mtime > mt for s in _SRCS)
 
 
 def _load():
@@ -58,7 +66,7 @@ def _load():
         _tried = True
         if os.environ.get("MINA_BRIDGE_TPU_NO_NATIVE"):
             return None
-        if not _LIB.exists() and not _build():
+        if _stale() and not _build():
             return None
         try:
             lib = ctypes.CDLL(str(_LIB))
@@ -154,3 +162,146 @@ def merkle_levels(leaves: list[bytes]) -> list[list[bytes]]:
         cursor += width
         width //= 2
     return levels
+
+
+# ---------------------------------------------------------------------------
+# Pasta host-crypto runtime (src/pasta.cpp): Montgomery field core,
+# Poseidon permutation, NTT, poly eval, Pippenger MSM. Parity with the
+# reference's native Rust host stack (openmina_algebra / mina-poseidon,
+# SURVEY.md 2b); Python implementations remain the oracle/fallback.
+# ---------------------------------------------------------------------------
+
+import functools
+
+
+def _pasta_bind(lib) -> None:
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.mbtpu_field_mul_batch.argtypes = [u64p] * 3 + [ctypes.c_uint64, u64p]
+    lib.mbtpu_field_inv_batch.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+    lib.mbtpu_poseidon_permute_batch.argtypes = [
+        u64p, u64p, ctypes.c_uint64, u64p, u64p, ctypes.c_uint64,
+    ]
+    lib.mbtpu_ntt.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+    lib.mbtpu_scale_geometric.argtypes = [u64p, u64p, ctypes.c_uint64, u64p, u64p]
+    lib.mbtpu_poly_eval.argtypes = [
+        u64p, u64p, ctypes.c_uint64, u64p, ctypes.c_uint64, u64p,
+    ]
+    lib.mbtpu_msm.argtypes = [
+        u64p, u64p, u64p, ctypes.c_uint64, u64p, u64p,
+    ]
+
+
+def _pasta_lib():
+    lib = _load()
+    if lib is None:
+        return None
+    if not getattr(lib, "_pasta_bound", False):
+        try:
+            _pasta_bind(lib)
+        except AttributeError:
+            return None  # stale .so built from keccak.cpp only
+        lib._pasta_bound = True
+    return lib
+
+
+def _words(v: int, n: int = 4):
+    return [(v >> (64 * i)) & ((1 << 64) - 1) for i in range(n)]
+
+
+def _arr(vals) -> "ctypes.Array":
+    flat = []
+    for v in vals:
+        flat.extend(_words(v))
+    return (ctypes.c_uint64 * len(flat))(*flat)
+
+
+def _ints(buf, n) -> list[int]:
+    out = []
+    for i in range(n):
+        acc = 0
+        for w in range(4):
+            acc |= buf[4 * i + w] << (64 * w)
+        out.append(acc)
+    return out
+
+
+@functools.cache
+def _ctx(p: int) -> "ctypes.Array":
+    r2 = pow(1 << 256, 2, p)
+    n0inv = (-pow(p, -1, 1 << 64)) % (1 << 64)
+    return (ctypes.c_uint64 * 9)(*(_words(p) + _words(r2) + [n0inv]))
+
+
+@functools.cache
+def _poseidon_tables(ps) -> tuple:
+    rc = [c for row in ps.round_constants for c in row]
+    mds = [c for row in ps.mds for c in row]
+    return _arr(rc), len(ps.round_constants), _arr(mds)
+
+
+def poseidon_permute(ps, state: list[int]) -> "list[int] | None":
+    """Native kimchi Poseidon permutation; None -> caller falls back."""
+    lib = _pasta_lib()
+    if lib is None:
+        return None
+    rc, nrounds, mds = _poseidon_tables(ps)
+    st = _arr(state)
+    lib.mbtpu_poseidon_permute_batch(_ctx(ps.field.p), rc, nrounds, mds, st, 1)
+    return _ints(st, 3)
+
+
+def ntt(p: int, data: list[int], root: int) -> "list[int] | None":
+    lib = _pasta_lib()
+    if lib is None:
+        return None
+    buf = _arr(data)
+    lib.mbtpu_ntt(_ctx(p), buf, len(data), _arr([root]))
+    return _ints(buf, len(data))
+
+
+def scale_geometric(p: int, data: list[int], s0: int, ratio: int):
+    lib = _pasta_lib()
+    if lib is None:
+        return None
+    buf = _arr(data)
+    lib.mbtpu_scale_geometric(_ctx(p), buf, len(data), _arr([s0]), _arr([ratio]))
+    return _ints(buf, len(data))
+
+
+def poly_eval(p: int, coeffs: list[int], xs: list[int]) -> "list[int] | None":
+    lib = _pasta_lib()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint64 * (4 * len(xs)))()
+    lib.mbtpu_poly_eval(_ctx(p), _arr(coeffs), len(coeffs), _arr(xs), len(xs), out)
+    return _ints(out, len(xs))
+
+
+def field_inv_batch(p: int, vals: list[int]) -> "list[int] | None":
+    lib = _pasta_lib()
+    if lib is None:
+        return None
+    out = (ctypes.c_uint64 * (4 * len(vals)))()
+    lib.mbtpu_field_inv_batch(_ctx(p), _arr(vals), len(vals), out)
+    return _ints(out, len(vals))
+
+
+def msm(base_p: int, points: list, scalars: list[int]):
+    """MSM over affine (x, y) int pairs; identity inputs must be filtered
+    by the caller. Returns (x, y) or None (identity), or the string
+    "fallback" when the native library is unavailable."""
+    lib = _pasta_lib()
+    if lib is None:
+        return "fallback"
+    n = len(points)
+    if n == 0:
+        return None
+    pbuf = _arr([c for (x, y) in points for c in (x, y)])
+    sbuf = _arr(scalars)
+    out = (ctypes.c_uint64 * 8)()
+    inf = (ctypes.c_uint64 * 1)()
+    lib.mbtpu_msm(_ctx(base_p), pbuf, sbuf, n, out, inf)
+    if inf[0]:
+        return None
+    x, y = _ints(out, 2)
+    return (x, y)
