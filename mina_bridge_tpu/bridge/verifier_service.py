@@ -213,6 +213,24 @@ def verify_states_batch(
     run as one device Poseidon batch and all B tip proofs verify in one
     batched kimchi call / single MSM (BASELINE config 5's batch axis; the
     proof-batch dimension is what shards across hosts, SURVEY §2c)."""
+    from ..utils.profiling import METRICS
+
+    with METRICS.timer("verify_states_batch"):
+        results = _verify_states_batch(
+            pubs, proofs, block_log_n, tip_proofs_device, rand_weights
+        )
+    METRICS.count("state_proofs_submitted", len(pubs))
+    METRICS.count("state_proofs_verified", sum(r.ok for r in results))
+    return results
+
+
+def _verify_states_batch(
+    pubs: list[pm.MinaStatePubInputs],
+    proofs: list[pm.MinaStateProof],
+    block_log_n: int,
+    tip_proofs_device: "pickles.DeviceTips",
+    rand_weights,
+) -> list[StateVerificationResult]:
     B = len(pubs)
     n = pm.BRIDGE_TRANSITION_FRONTIER_LEN
     results = [StateVerificationResult(True) for _ in range(B)]

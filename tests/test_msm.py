@@ -100,3 +100,18 @@ def test_mesh_helpers():
     x = jnp.zeros((2, 8))
     y = pm.shard_proof_batch(x, m2)
     assert y.shape == x.shape
+
+
+def test_msm_on_production_mesh(rng):
+    """MSM sharded over the pt axis of the 2-axis (dp, pt) production
+    mesh (parallel/distributed.py): dp spans hosts, pt spans local
+    chips; the dp axis rides along untouched."""
+    from mina_bridge_tpu.parallel import distributed as dist
+
+    dist.initialize()  # no-op single-process
+    mesh = dist.production_mesh(dp=2)
+    assert mesh.shape == {"dp": 2, "pt": 4}
+    c, pts, ks, dp, dk = setup_case(rng, 16)
+    out = msm_mod.msm_sharded(c, dk, dp, mesh, axis="pt")
+    got = jc.to_affine_ints(c, out)[0]
+    assert got == hc.msm(c, ks, pts)
