@@ -153,29 +153,38 @@ def _conv_schoolbook(
     return out, _conv_bounds(ba, bb)
 
 
+def _kara_halves(ba: Bounds, bb: Bounds):
+    """Split-point + per-half diff bounds for the subtractive Karatsuba
+    step (uneven splits pad the high half with zeros)."""
+    la = len(ba)
+    h = (la + 1) // 2
+    pad = lambda t: t + (0,) * (h - len(t))
+    bd_a = tuple(max(x, y) for x, y in zip(ba[:h], pad(ba[h:])))
+    bd_b = tuple(max(x, y) for x, y in zip(bb[:h], pad(bb[h:])))
+    return h, bd_a, bd_b
+
+
 @functools.cache
 def _karatsuba_safe(ba: Bounds, bb: Bounds) -> bool:
-    """One-level subtractive Karatsuba is exact in int32 iff the middle
-    product of limb differences and the z0+z2 intermediate stay < 2^31
-    (the output limbs equal schoolbook limbs, same bound tuple)."""
+    """Subtractive Karatsuba is exact in int32 iff the middle product of
+    limb differences and the z0+z2 intermediate stay < 2^31 (the output
+    limbs equal schoolbook limbs, same bound tuple; z1 = z0 + z2 - m is
+    the true non-negative middle convolution, transients fit signed
+    int32)."""
     la, lb = len(ba), len(bb)
-    if la != lb or la < 16 or la % 2:
+    if la != lb or la < 8:
         return False
-    h = la // 2
-    bd_a = tuple(max(x, y) for x, y in zip(ba[:h], ba[h:]))
-    bd_b = tuple(max(x, y) for x, y in zip(bb[:h], bb[h:]))
+    h, bd_a, bd_b = _kara_halves(ba, bb)
     bm = [0] * (2 * h - 1)
-    b00 = [0] * (2 * h - 1)
-    b11 = [0] * (2 * h - 1)
+    bz = [0] * (2 * h - 1)  # z0 + z2 positional bound
     for i in range(h):
         for j in range(h):
             bm[i + j] += bd_a[i] * bd_b[j]
-            b00[i + j] += ba[i] * bb[j]
-            b11[i + j] += ba[h + i] * bb[h + j]
+            bz[i + j] += ba[i] * bb[j]
+            if h + i < la and h + j < lb:
+                bz[i + j] += ba[h + i] * bb[h + j]
     lim = 1 << 31
-    return all(v < lim for v in bm) and all(
-        x + y < lim for x, y in zip(b00, b11)
-    )
+    return all(v < lim for v in bm) and all(v < lim for v in bz)
 
 
 def _conv(
@@ -184,20 +193,27 @@ def _conv(
     if not _karatsuba_safe(ba, bb):
         return _conv_schoolbook(a, ba, b, bb)
     la = len(ba)
-    h = la // 2
-    a0, a1 = a[..., :h], a[..., h:]
-    b0, b1 = b[..., :h], b[..., h:]
-    z0, _ = _conv_schoolbook(a0, ba[:h], b0, bb[:h])
-    z2, _ = _conv_schoolbook(a1, ba[h:], b1, bb[h:])
-    bd_a = tuple(max(x, y) for x, y in zip(ba[:h], ba[h:]))
-    bd_b = tuple(max(x, y) for x, y in zip(bb[:h], bb[h:]))
+    h, bd_a, bd_b = _kara_halves(ba, bb)
+    lo = la - h  # high-half length (h or h-1)
+
+    def padh(x, l):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, h - l)])
+
+    a0, a1 = a[..., :h], padh(a[..., h:], lo)
+    b0, b1 = b[..., :h], padh(b[..., h:], lo)
+    z0, _ = _conv(a0, ba[:h], b0, bb[:h])  # recurse (2-level and deeper)
+    z2, _ = _conv(a[..., h:], ba[h:], b[..., h:], bb[h:])
+    # m's inputs are SIGNED diffs: the magnitude-max bound tuples are not
+    # valid for a further Karatsuba split (diff-of-diffs needs bound
+    # SUMS), so m stays schoolbook at every level; bm < 2^31 was checked.
     m, _ = _conv_schoolbook(a0 - a1, bd_a, b0 - b1, bd_b)
-    z1 = (z0 + z2) - m  # exact non-negative middle convolution
+    z2p = jnp.pad(z2, [(0, 0)] * (z2.ndim - 1) + [(0, (2 * h - 1) - (2 * lo - 1))])
+    z1 = (z0 + z2p) - m  # exact non-negative middle conv
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
     out = jnp.zeros(shape + (2 * la - 1,), dtype=jnp.int32)
     out = out.at[..., : 2 * h - 1].add(z0)
     out = out.at[..., h : h + 2 * h - 1].add(z1)
-    out = out.at[..., 2 * h : 2 * h + 2 * h - 1].add(z2)
+    out = out.at[..., 2 * h : 2 * h + 2 * lo - 1].add(z2)
     return out, _conv_bounds(ba, bb)
 
 

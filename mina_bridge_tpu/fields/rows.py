@@ -97,16 +97,24 @@ def conv_r(a, ba: Bounds, b, bb: Bounds):
     la, lb = len(ba), len(bb)
     if not _karatsuba_safe(ba, bb):
         return _conv_schoolbook_r(a, ba, b, bb)
-    h = la // 2
-    a0, a1 = a[..., :h, :], a[..., h:, :]
-    b0, b1 = b[..., :h, :], b[..., h:, :]
-    z0, _ = _conv_schoolbook_r(a0, ba[:h], b0, bb[:h])
-    z2, _ = _conv_schoolbook_r(a1, ba[h:], b1, bb[h:])
-    # |a0-a1| bounds (signed diffs; _karatsuba_safe checked the product)
-    bd_a = tuple(max(x, y) for x, y in zip(ba[:h], ba[h:]))
-    bd_b = tuple(max(x, y) for x, y in zip(bb[:h], bb[h:]))
+    from .ffl import _kara_halves
+
+    h, bd_a, bd_b = _kara_halves(ba, bb)
+    lo = la - h
+
+    def padh(x, l):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, h - l), (0, 0)])
+
+    a0, a1 = a[..., :h, :], padh(a[..., h:, :], lo)
+    b0, b1 = b[..., :h, :], padh(b[..., h:, :], lo)
+    z0, _ = conv_r(a0, ba[:h], b0, bb[:h])  # recurse
+    z2, _ = conv_r(a[..., h:, :], ba[h:], b[..., h:, :], bb[h:])
+    # m's inputs are SIGNED diffs: schoolbook at every level (see ffl)
     m, _ = _conv_schoolbook_r(a0 - a1, bd_a, b0 - b1, bd_b)
-    z1 = (z0 + z2) - m  # exact non-negative middle convolution
+    z2p = jnp.pad(
+        z2, [(0, 0)] * (z2.ndim - 2) + [(0, (2 * h - 1) - (2 * lo - 1)), (0, 0)]
+    )
+    z1 = (z0 + z2p) - m
     shape = jnp.broadcast_shapes(z0.shape[:-2], z1.shape[:-2])
     B = jnp.broadcast_shapes(a.shape[-1:], b.shape[-1:])[0]
     out = jnp.zeros(shape + (la + lb - 1, B), dtype=jnp.int32)

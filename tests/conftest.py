@@ -52,6 +52,12 @@ def _forked_put(cache_key, module_name, executable, backend, compile_time):
     pid = os.fork()
     if pid == 0:  # child
         try:
+            # a crashing serialize is expected for the largest
+            # executables: keep its faulthandler dump out of the test log
+            import faulthandler
+
+            faulthandler.disable()
+            os.dup2(os.open(os.devnull, os.O_WRONLY), 2)
             _orig_put(cache_key, module_name, executable, backend, compile_time)
             os._exit(0)
         except BaseException:
