@@ -27,7 +27,7 @@ def validate_solution(sdk, sudoku_contract, zkapp_public_key: str) -> None:
     tip_hash = sdk.get_bridged_chain_tip_state_hash()
     tip_state = sdk.mina.query_state(hex(tip_hash))
     states, _ = sdk.mina.query_candidate_chain()
-    cand_tip_hash = pm.host_full_state_hash(mt.PROTOCOL_STATE.decode(states[-1]))
+    cand_tip_hash = pm.host_full_state_hash(mt.decode_protocol_state_any(states[-1]))
     tip_proof = pickles.prove_tip(cand_tip_hash)
     sdk.update_bridge_chain(tip_state, tip_proof, _rand_weights(1))
 

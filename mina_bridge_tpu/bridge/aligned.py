@@ -112,6 +112,60 @@ class TpuVerifierService:
         # operator hook: post the batch root to the on-chain registry
         self.on_batch_root = on_batch_root
 
+    def submit_states(
+        self,
+        pubs: list[pm.MinaStatePubInputs],
+        proofs: list[pm.MinaStateProof],
+        tip_proofs_host: list,
+        rand_weights,
+    ) -> list["vs.StateVerificationResult"]:
+        """Batched Proof-of-State submission — THE serving path: all 17*B
+        protocol-state hashes run as one device Poseidon batch and all B
+        tip proofs verify through one batched MSM (per-proof verdicts via
+        verifier_service._tip_verdicts). Proofs that verify join the
+        pending batch; per-proof results are returned so one bad
+        submission never blocks the rest (reference bar: Aligned operator
+        batch verification, README.md:213-215)."""
+        from ..pickles import verifier as pickles
+
+        dtips = pickles.device_proofs(tip_proofs_host)
+        results = vs.verify_states_batch(
+            pubs, proofs, self.block_log_n, dtips, rand_weights
+        )
+        from .sol_codec import encode_state_pub_inputs_evm
+
+        for pub, proof, res in zip(pubs, proofs, results):
+            if res.ok:
+                self.pending.append(
+                    (
+                        proof.encode(),
+                        encode_state_pub_inputs_evm(pub),
+                        PROVING_SYSTEM_MINA,
+                    )
+                )
+        return results
+
+    def submit_accounts(
+        self,
+        pubs: list[pm.MinaAccountPubInputs],
+        proofs: list[pm.MinaAccountProof],
+    ) -> list["vs.StateVerificationResult"]:
+        """Batched Proof-of-Account submission: leaf hashes and Merkle
+        folds run as per-shape device batches (verify_accounts_batch)."""
+        results = vs.verify_accounts_batch(pubs, proofs)
+        from .sol_codec import encode_account_pub_inputs_evm
+
+        for pub, proof, res in zip(pubs, proofs, results):
+            if res.ok:
+                self.pending.append(
+                    (
+                        proof.encode(),
+                        encode_account_pub_inputs_evm(pub),
+                        PROVING_SYSTEM_MINA_ACCOUNT,
+                    )
+                )
+        return results
+
     def submit_state(
         self,
         pub: pm.MinaStatePubInputs,
@@ -119,35 +173,18 @@ class TpuVerifierService:
         tip_proof_host,
         rand_weights,
     ) -> None:
-        from ..pickles import verifier as pickles
-
-        dtips = pickles.device_proofs([tip_proof_host])
-        result = vs.verify_proof_of_state(
-            pub, proof, self.block_log_n, dtips, rand_weights
-        )
+        """Single-proof submission: a batch of one on the batched path."""
+        [result] = self.submit_states([pub], [proof], [tip_proof_host], rand_weights)
         if not result.ok:
             raise ValueError(f"state proof rejected: {result.reason}")
-        from .sol_codec import encode_state_pub_inputs_evm
-
-        self.pending.append(
-            (proof.encode(), encode_state_pub_inputs_evm(pub), PROVING_SYSTEM_MINA)
-        )
 
     def submit_account(
         self, pub: pm.MinaAccountPubInputs, proof: pm.MinaAccountProof
     ) -> None:
-        result = vs.verify_proof_of_account(pub, proof)
+        """Single-proof submission: a batch of one on the batched path."""
+        [result] = self.submit_accounts([pub], [proof])
         if not result.ok:
             raise ValueError(f"account proof rejected: {result.reason}")
-        from .sol_codec import encode_account_pub_inputs_evm
-
-        self.pending.append(
-            (
-                proof.encode(),
-                encode_account_pub_inputs_evm(pub),
-                PROVING_SYSTEM_MINA_ACCOUNT,
-            )
-        )
 
     def finalize_batch(self) -> list[AlignedVerificationData]:
         """Close the batch; emit verification data per submitted proof."""

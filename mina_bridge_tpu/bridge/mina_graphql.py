@@ -150,12 +150,12 @@ def get_mina_proof_of_state(
 ) -> tuple[pm.MinaStatePubInputs, pm.MinaStateProof]:
     """Mirror of mina.rs get_mina_proof_of_state (mina.rs:70-105)."""
     states, tip_proof = mina.query_candidate_chain()
-    decoded = [mt.PROTOCOL_STATE.decode(s) for s in states]
+    decoded = [mt.decode_protocol_state_any(s) for s in states]
     cand_hashes = [pm.host_full_state_hash(s) for s in decoded]
     ledgers = [
         s["body"]["blockchain_state"]["snarked_ledger_hash"] for s in decoded
     ]
-    tip_decoded = mt.PROTOCOL_STATE.decode(bridge_tip_state)
+    tip_decoded = mt.decode_protocol_state_any(bridge_tip_state)
     pub = pm.MinaStatePubInputs(
         bridge_tip_state_hash=pm.host_full_state_hash(tip_decoded),
         candidate_chain_state_hashes=cand_hashes,

@@ -195,3 +195,20 @@ ACCOUNT = Versioned(
 
 MERKLE_NODE = Variant(("Left", [Field()]), ("Right", [Field()]))
 MERKLE_PATH = List(MERKLE_NODE)
+
+
+def decode_protocol_state_any(blob: bytes) -> dict:
+    """Decode a protocol state in either wire format into the bridge's
+    internal state dict.
+
+    Real Mina nodes return `MinaStateProtocolStateValueStableV2` binprot
+    (the layout proven against the reference's devnet golden vector in
+    bridge/mina_state_v2.py); in-repo fixtures use the internal layout
+    above. Both decoders enforce full consumption, so misparse of one
+    format as the other fails loudly."""
+    from . import mina_state_v2 as mv2
+
+    try:
+        return mv2.to_bridge_state(mv2.decode_protocol_state(blob))
+    except Exception:
+        return PROTOCOL_STATE.decode(blob)

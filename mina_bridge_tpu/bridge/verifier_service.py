@@ -64,8 +64,8 @@ def verify_proof_of_state(
     if len(proof.candidate_chain_states) != n:
         return StateVerificationResult(False, "wrong chain length")
 
-    states = [mt.PROTOCOL_STATE.decode(b) for b in proof.candidate_chain_states]
-    tip_state = mt.PROTOCOL_STATE.decode(proof.bridge_tip_state)
+    states = [mt.decode_protocol_state_any(b) for b in proof.candidate_chain_states]
+    tip_state = mt.decode_protocol_state_any(proof.bridge_tip_state)
 
     # -- 1a. batched body hashes + state hashes on device --
     all_states = states + [tip_state]
@@ -121,20 +121,65 @@ def verify_proof_of_state(
 
 
 def _pad_batch(proofs, rw, min_batch: int = 2):
-    """Pad a proof batch (any pytree whose leaves lead with B) to
-    >= min_batch by duplication: keeps the verify graph at one canonical
-    compiled shape (compile-cache friendly)."""
+    """Pad a proof batch (any pytree whose leaves lead with B) to the
+    next power of two >= min_batch by duplication: keeps the verify graph
+    at a handful of canonical compiled shapes (compile-cache friendly).
+    Duplicating a proof never changes the batch verdict: a duplicate of a
+    valid proof verifies, a duplicate of an invalid one fails alongside
+    the original."""
     import jax
 
     B = rw.shape[0]
-    if B >= min_batch:
+    target = max(min_batch, 1 << (B - 1).bit_length())
+    if B == target:
         return proofs, rw
-    reps = -(-min_batch // B)
+    reps = -(-target // B)
 
     def tile(x):
-        return jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:min_batch]
+        return jnp.tile(x, (reps,) + (1,) * (x.ndim - 1))[:target]
 
     return jax.tree.map(tile, proofs), tile(rw)
+
+
+def _tip_verdicts(
+    idxs: list[int],
+    tip_proofs_device: "pickles.DeviceTips",
+    rand_weights,
+    block_log_n: int,
+) -> dict[int, bool]:
+    """Per-proof tip verdicts for the given batch indices.
+
+    Verifies the whole index set in ONE batched device call (single MSM);
+    only on failure does it bisect, so the honest path costs exactly one
+    dispatch and a batch with k bad proofs costs O(k log B) dispatches.
+    Every subset is padded to a power-of-two batch by duplication, so
+    bisection reuses a handful of canonical compiled shapes. This keeps
+    per-proof isolation (reference bar: Aligned operators verify each
+    batch entry independently, README.md:213-215) without giving up the
+    batched-MSM serving path."""
+    import jax
+
+    verdicts: dict[int, bool] = {}
+
+    def rec(sub: list[int]):
+        if not sub:
+            return
+        sel = jnp.asarray(np.array(sub, np.int32))
+        tp = jax.tree.map(lambda x: x[sel], tip_proofs_device)
+        rw = rand_weights[sel]
+        tp, rw = _pad_batch(tp, rw)
+        if bool(pickles.batch_verify_tips(tp, rw, log_n=block_log_n)):
+            for i in sub:
+                verdicts[i] = True
+        elif len(sub) == 1:
+            verdicts[sub[0]] = False
+        else:
+            mid = len(sub) // 2
+            rec(sub[:mid])
+            rec(sub[mid:])
+
+    rec(list(idxs))
+    return verdicts
 
 
 def verify_proof_of_account(
@@ -171,34 +216,53 @@ def verify_accounts_batch(
         if encode_account_sol(a) != pub.encoded_account:
             results[i] = StateVerificationResult(False, "encoded account mismatch")
     fields = [pm.account_fields(a) for a in accounts]
-    flen = max(len(f) for f in fields)
-    if any(len(f) != flen for f in fields):
-        # account field vectors differ only in optional parts; pad with 0
-        fields = [f + [0] * (flen - len(f)) for f in fields]
-    af = jnp.asarray(
-        np.stack([np.stack([int_to_limbs(v, NLIMBS) for v in f]) for f in fields])
-    )
-    leaves = device_hash_with_prefix(PREFIX_ACCOUNT, af)
-    depth = len(proofs[0].merkle_path)
-    sibs = jnp.asarray(
-        np.stack(
-            [
-                np.stack([int_to_limbs(nd[1][0], NLIMBS) for nd in p.merkle_path])
-                for p in proofs
-            ]
+    # An account's Poseidon leaf hash must not depend on what it is
+    # batched with: the sponge absorbs exactly len(fields) elements, so
+    # zero-padding shorter accounts to a batch-wide max would change
+    # their hash vs the single-proof path. Group by (field count, merkle
+    # depth) and run one device batch per group — each group's program
+    # is the same compiled shape the single path uses.
+    groups: dict[tuple[int, int], list[int]] = {}
+    for i, (f, p) in enumerate(zip(fields, proofs)):
+        groups.setdefault((len(f), len(p.merkle_path)), []).append(i)
+    for idxs in groups.values():
+        af = jnp.asarray(
+            np.stack(
+                [
+                    np.stack([int_to_limbs(v, NLIMBS) for v in fields[i]])
+                    for i in idxs
+                ]
+            )
         )
-    )
-    is_left = jnp.asarray(
-        np.array(
-            [[1 if nd[0] == "Left" else 0 for nd in p.merkle_path] for p in proofs],
-            np.int32,
+        leaves = device_hash_with_prefix(PREFIX_ACCOUNT, af)
+        sibs = jnp.asarray(
+            np.stack(
+                [
+                    np.stack(
+                        [
+                            int_to_limbs(nd[1][0], NLIMBS)
+                            for nd in proofs[i].merkle_path
+                        ]
+                    )
+                    for i in idxs
+                ]
+            )
         )
-    )
-    roots = device_merkle_roots(leaves, sibs, is_left)
-    roots_host = [limbs_to_int(np.asarray(r)) for r in roots]
-    for i, (pub, r) in enumerate(zip(pubs, roots_host)):
-        if results[i].ok and r != pub.ledger_hash:
-            results[i] = StateVerificationResult(False, "merkle root != ledger hash")
+        is_left = jnp.asarray(
+            np.array(
+                [
+                    [1 if nd[0] == "Left" else 0 for nd in proofs[i].merkle_path]
+                    for i in idxs
+                ],
+                np.int32,
+            )
+        )
+        roots = device_merkle_roots(leaves, sibs, is_left)
+        for i, r in zip(idxs, [limbs_to_int(np.asarray(r)) for r in roots]):
+            if results[i].ok and r != pubs[i].ledger_hash:
+                results[i] = StateVerificationResult(
+                    False, "merkle root != ledger hash"
+                )
     return results
 
 
@@ -242,8 +306,8 @@ def _verify_states_batch(
             continue
         decoded.append(
             (
-                [mt.PROTOCOL_STATE.decode(s) for s in proof.candidate_chain_states],
-                mt.PROTOCOL_STATE.decode(proof.bridge_tip_state),
+                [mt.decode_protocol_state_any(s) for s in proof.candidate_chain_states],
+                mt.decode_protocol_state_any(proof.bridge_tip_state),
             )
         )
 
@@ -310,12 +374,15 @@ def _verify_states_batch(
                     False, "tip proof binds wrong hash"
                 )
 
-    # one batched tip verification (single MSM for the whole batch)
-    if all(r.ok for r in results):
-        tp, rw = _pad_batch(tip_proofs_device, rand_weights)
-        if not bool(pickles.batch_verify_tips(tp, rw, log_n=block_log_n)):
-            return [
-                StateVerificationResult(False, "tip proof batch invalid")
-                for _ in range(B)
-            ]
+    # one batched tip verification over the host-ok subset (single MSM
+    # on the honest path; bisects only on failure). Proofs that already
+    # failed host checks are excluded so one malformed submission can
+    # never mask — or fail — another proof's tip verdict.
+    ok_idxs = [b for b, r in enumerate(results) if r.ok]
+    verdicts = _tip_verdicts(
+        ok_idxs, tip_proofs_device, rand_weights, block_log_n
+    )
+    for b in ok_idxs:
+        if not verdicts[b]:
+            results[b] = StateVerificationResult(False, "tip proof invalid")
     return results

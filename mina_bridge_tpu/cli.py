@@ -21,7 +21,7 @@ def _build_sdk(env):
     from .bridge import mina_graphql as mg
     from .sdk import BridgeSdk
 
-    wallet = ethmod.Wallet(env.private_key)
+    wallet = env.wallet()  # keystore/private-key/Anvil policy (wallet.rs:24-64)
     eth = ethmod.EthClient(
         ethmod.http_transport(env.eth_rpc_url), env.chain_id, wallet
     )
@@ -79,7 +79,7 @@ def main(argv=None) -> int:
             from .bridge import mina_types as mt
 
             cand_tip_hash = pm.host_full_state_hash(
-                mt.PROTOCOL_STATE.decode(states[-1])
+                mt.decode_protocol_state_any(states[-1])
             )
             tip_proof = pickles.prove_tip(cand_tip_hash)
             rw = _rand_weights(1)

@@ -49,14 +49,14 @@ def deploy_bridge_contracts(env=None) -> dict:
     from .utils.env import EnvironmentVariables
 
     env = env or EnvironmentVariables.new()
-    wallet = ethmod.Wallet(env.private_key)
+    wallet = env.wallet()
     eth = ethmod.EthClient(
         ethmod.http_transport(env.eth_rpc_url), env.chain_id, wallet
     )
     mina = mg.MinaClient(mg.http_transport(env.mina_rpc_url))
 
     root_state = mina.query_root()
-    root_hash = pm.host_full_state_hash(mt.PROTOCOL_STATE.decode(root_state))
+    root_hash = pm.host_full_state_hash(mt.decode_protocol_state_any(root_state))
     log.info("root state hash: %#x", root_hash)
 
     registry = ethmod.deploy_contract(

@@ -17,7 +17,8 @@ def test_env_defaults(tmp_path, monkeypatch):
             monkeypatch.delenv(k, raising=False)
     env = EnvironmentVariables.new()
     assert env.chain_id == constants.ANVIL_CHAIN_ID
-    assert env.private_key == constants.ANVIL_PRIVATE_KEY
+    assert env.private_key is None  # no PRIVATE_KEY set
+    assert env.wallet().private_key == constants.ANVIL_PRIVATE_KEY
     assert not env.save_proof
 
 
@@ -63,3 +64,32 @@ def test_deployer_missing_artifacts():
 
     with pytest.raises(FileNotFoundError):
         load_bytecode("MinaBridgeRegistry")
+
+
+def test_keystore_roundtrip(tmp_path):
+    """V3 keystore encrypt/decrypt (scrypt + pbkdf2), bad-password MAC
+    rejection, and the wallet selection policy (wallet.rs:24-64)."""
+    import pytest
+
+    from mina_bridge_tpu.bridge import keystore as ks
+
+    key = 0x1234_5678_9ABC_DEF0_1234_5678_9ABC_DEF0
+    for kdf in ("scrypt", "pbkdf2"):
+        path = tmp_path / f"ks_{kdf}.json"
+        ks.encrypt_keystore(key, "hunter2", path, kdf=kdf, work=1 << 10)
+        assert ks.decrypt_keystore(path, "hunter2") == key
+        with pytest.raises(ValueError, match="MAC"):
+            ks.decrypt_keystore(path, "wrong")
+    # selection policy
+    with pytest.raises(ValueError, match="Choose only one"):
+        ks.get_wallet("holesky", keystore_path=str(path), private_key="0x1")
+    with pytest.raises(ValueError, match="KEYSTORE_PATH or PRIVATE_KEY"):
+        ks.get_wallet("holesky")
+    w = ks.get_wallet(
+        "holesky", keystore_path=str(path), password_prompt=lambda: "hunter2"
+    )
+    assert w.private_key == key
+    assert ks.get_wallet("holesky", private_key="0xabc").private_key == 0xABC
+    from mina_bridge_tpu.utils.constants import ANVIL_PRIVATE_KEY
+
+    assert ks.get_wallet("devnet").private_key == ANVIL_PRIVATE_KEY

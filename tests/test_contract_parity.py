@@ -1,0 +1,255 @@
+"""Contract <-> ABI <-> Python-mock drift detection.
+
+forge is unavailable offline (the reference builds ABIs with
+`make gen_contract_abis`, Makefile:9-13), so the Solidity logic is
+exercised through the Python re-model in tests/mock_chain.py. These
+tests make silent drift impossible: the .sol sources, the shipped ABI
+JSONs, the mock dispatch selectors, and the sol_codec encoders are all
+checked against each other (VERDICT r1 item 7; reference bar:
+contract/src/MinaStateSettlementExample.sol:122-146).
+"""
+
+import json
+import pathlib
+import random
+import re
+
+import pytest
+
+from mina_bridge_tpu.bridge import fixtures
+from mina_bridge_tpu.bridge import proof_model as pm
+from mina_bridge_tpu.bridge import sol_codec as sc
+from mina_bridge_tpu.bridge.keccak import keccak256, selector
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+CONTRACTS = [
+    ("contracts/MinaStateSettlement.sol", "contracts/abi/MinaStateSettlement.json"),
+    (
+        "contracts/MinaAccountValidation.sol",
+        "contracts/abi/MinaAccountValidation.json",
+    ),
+    ("contracts/MinaBridgeRegistry.sol", "contracts/abi/MinaBridgeRegistry.json"),
+]
+
+_FN_RE = re.compile(
+    r"function\s+(\w+)\s*\(([^)]*)\)\s*(external|public)", re.S
+)
+
+
+def _sol_signatures(src: str) -> set[str]:
+    """Canonical `name(type,...)` signatures of external/public functions
+    declared in a .sol source."""
+    sigs = set()
+    for name, args, _vis in _FN_RE.findall(src):
+        types = []
+        for arg in args.split(","):
+            arg = arg.strip()
+            if not arg:
+                continue
+            ty = arg.split()[0]
+            types.append(ty)
+        sigs.add(f"{name}({','.join(types)})")
+    return sigs
+
+
+def _abi_signatures(abi: list) -> set[str]:
+    return {
+        f"{e['name']}({','.join(i['type'] for i in e['inputs'])})"
+        for e in abi
+        if e.get("type") == "function"
+    }
+
+
+@pytest.mark.parametrize("sol_path,abi_path", CONTRACTS)
+def test_sol_functions_match_abi(sol_path, abi_path):
+    """Every external/public function in the .sol appears in the ABI with
+    identical argument types (and vice versa, modulo auto-generated
+    getters for public state variables)."""
+    src = (REPO / sol_path).read_text()
+    abi = json.loads((REPO / abi_path).read_text())["abi"]
+    sol_sigs = _sol_signatures(src)
+    abi_sigs = _abi_signatures(abi)
+    missing = sol_sigs - abi_sigs
+    assert not missing, f"declared in {sol_path} but absent from ABI: {missing}"
+    # ABI-only entries must correspond to public state variables
+    # (Solidity auto-getters) declared in the source.
+    for extra in abi_sigs - sol_sigs:
+        name = extra.split("(")[0]
+        assert re.search(
+            rf"public\s+(?:constant\s+|immutable\s+)?\w*\s*{name}", src
+        ), f"{extra} in ABI but not declared in {sol_path}"
+
+
+def test_mock_dispatch_selectors_match_abi():
+    """The mock node's tx dispatch uses the exact selectors the ABI
+    yields — the signatures the real EthClient signs against."""
+    abi = json.loads(
+        (REPO / "contracts/abi/MinaStateSettlement.json").read_text()
+    )["abi"]
+    sigs = _abi_signatures(abi)
+    assert "updateChain(bytes32,bytes32,bytes32,bytes,uint256,bytes)" in sigs
+    abi2 = json.loads(
+        (REPO / "contracts/abi/MinaAccountValidation.json").read_text()
+    )["abi"]
+    assert (
+        "validateAccount(bytes32,bytes32,bytes32,bytes,uint256,bytes)"
+        in _abi_signatures(abi2)
+    )
+    # the getters the mock answers
+    for sig in (
+        "getTipStateHash()",
+        "getChainStateHashes()",
+        "getChainLedgerHashes()",
+        "isLedgerVerified(bytes32)",
+    ):
+        assert sig in sigs
+        assert len(selector(sig)) == 4
+
+
+def test_proving_system_commitments_match():
+    """PROVING_SYSTEM_ID_COMM constants: .sol keccak literal == mock ==
+    aligned module tags (reference sol:17-18)."""
+    from mina_bridge_tpu.bridge import aligned as al
+    from tests.mock_chain import MockAccountValidation, MockStateSettlement
+
+    src = (REPO / "contracts/MinaStateSettlement.sol").read_text()
+    m = re.search(r'keccak256\("([^"]+)"\)', src)
+    assert m.group(1).encode() == al.PROVING_SYSTEM_MINA
+    assert MockStateSettlement.SYSTEM_COMM == keccak256(al.PROVING_SYSTEM_MINA)
+    src2 = (REPO / "contracts/MinaAccountValidation.sol").read_text()
+    m2 = re.search(r'keccak256\("([^"]+)"\)', src2)
+    assert m2.group(1).encode() == al.PROVING_SYSTEM_MINA_ACCOUNT
+    assert MockAccountValidation.SYSTEM_COMM == keccak256(
+        al.PROVING_SYSTEM_MINA_ACCOUNT
+    )
+
+
+def test_state_pub_input_offsets():
+    """The Solidity slice arithmetic (MinaStateSettlement.sol:106-113)
+    against encode_state_pub_inputs_evm: word 0 = tip, words 1..16 =
+    state hashes, words 17..32 = ledger hashes, total 33*32 bytes."""
+    rng = random.Random(0x0FF5E7)
+    pub, _proof, states, _tip = fixtures.make_state_proof(rng)
+    data = sc.encode_state_pub_inputs_evm(pub)
+    assert len(data) == 33 * 32
+    src = (REPO / "contracts/MinaStateSettlement.sol").read_text()
+    # comment-contract: the exact offset expressions the test mirrors
+    assert "pubInput.length == 33 * 32" in src
+    assert "pubInput[32 * (1 + i):32 * (2 + i)]" in src
+    assert "pubInput[32 * (17 + i):32 * (18 + i)]" in src
+    assert int.from_bytes(data[0:32], "big") == pub.bridge_tip_state_hash
+    for i in range(16):
+        assert (
+            int.from_bytes(data[32 * (1 + i) : 32 * (2 + i)], "big")
+            == pub.candidate_chain_state_hashes[i]
+        )
+        assert (
+            int.from_bytes(data[32 * (17 + i) : 32 * (18 + i)], "big")
+            == pub.candidate_chain_ledger_hashes[i]
+        )
+
+
+def _solidity_decode_account(pub_input: bytes) -> dict:
+    """Direct Python transcription of MinaAccountValidation.decodeAccount's
+    calldata walk (the .sol slice arithmetic, kept in lockstep by
+    test_account_decode_walk_matches_source)."""
+    o = 32
+    def w():
+        nonlocal o
+        v = int.from_bytes(pub_input[o : o + 32], "big")
+        o += 32
+        return v
+
+    acc = {}
+    acc["publicKey"] = (w(), w() == 1)
+    acc["tokenId"] = w()
+    acc["tokenSymbol"] = w()
+    acc["balance"] = w()
+    acc["nonce"] = w()
+    acc["receiptChainHash"] = w()
+    acc["hasDelegate"] = w() == 1
+    acc["delegate"] = (w(), w() == 1)
+    acc["votingFor"] = w()
+    acc["timing"] = (w() == 1, w(), w(), w(), w(), w())
+    acc["permissions"] = [w() for _ in range(14)]
+    acc["hasZkapp"] = w() == 1
+    if acc["hasZkapp"]:
+        acc["appState"] = [w() for _ in range(8)]
+        acc["verificationKeyHash"] = w()
+    return acc
+
+
+def test_account_decode_walk_matches_source():
+    """The transcription above must track the .sol source: same field
+    walk, same 14-permission width, same zkapp gating."""
+    src = (REPO / "contracts/MinaAccountValidation.sol").read_text()
+    assert "uint256[14] memory perms" in src
+    assert "uint256 o = 32;" in src
+    walk = re.findall(r"acc\.(\w+(?:\.\w+)?)\s*=", src)
+    assert walk[:8] == [
+        "publicKey.x",
+        "publicKey.isOdd",
+        "tokenId",
+        "tokenSymbol",
+        "balance",
+        "nonce",
+        "receiptChainHash",
+        "hasDelegate",
+    ]
+
+
+@pytest.mark.parametrize("with_zkapp", [True, False])
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_account_encoding_decodes_on_chain(seed, with_zkapp):
+    """Round-trip: encode_account_sol -> the Solidity calldata walk
+    recovers every field (delegate/timing/zkapp variants included)."""
+    rng = random.Random(seed)
+    account = fixtures.make_account(rng, with_zkapp=with_zkapp)
+    enc = sc.encode_account_sol(account)
+    pub_input = sc.sol_word(12345) + enc  # ledgerHash || account
+    dec = _solidity_decode_account(pub_input)
+    pk = account["public_key"]
+    assert dec["publicKey"] == (int.from_bytes(pk[:32], "little"), pk[32] == 1)
+    assert dec["tokenId"] == account["token_id"]
+    assert dec["balance"] == account["balance"]
+    assert dec["nonce"] == account["nonce"]
+    assert dec["receiptChainHash"] == account["receipt_chain_hash"]
+    if account["delegate"] is None:
+        assert not dec["hasDelegate"]
+    else:
+        d = account["delegate"]
+        assert dec["hasDelegate"]
+        assert dec["delegate"] == (int.from_bytes(d[:32], "little"), d[32] == 1)
+    assert dec["votingFor"] == account["voting_for"]
+    if account["timing"][0] == "Untimed":
+        assert dec["timing"][0] is False
+    else:
+        t = account["timing"][1][0]
+        assert dec["timing"] == (
+            True,
+            t["initial_minimum_balance"],
+            t["cliff_time"],
+            t["cliff_amount"],
+            t["vesting_period"],
+            t["vesting_increment"],
+        )
+    assert dec["hasZkapp"] == with_zkapp
+    if with_zkapp:
+        assert dec["appState"] == list(account["zkapp"]["app_state"])
+        assert dec["verificationKeyHash"] == pm.vk_hash(
+            account["zkapp"]["verification_key"]
+        )
+
+
+def test_storage_layout_comment_contract():
+    """Storage declaration order in MinaStateSettlement.sol: the two
+    16-wide arrays, state hashes first (the reference's layout,
+    MinaStateSettlementExample.sol:21-22) — mock_chain mirrors this as
+    (state_hashes, ledger_hashes)."""
+    src = (REPO / "contracts/MinaStateSettlement.sol").read_text()
+    decls = re.findall(
+        r"bytes32\[BRIDGE_TRANSITION_FRONTIER_LEN\] private (\w+);", src
+    )
+    assert decls == ["chainStateHashes", "chainLedgerHashes"]
+    assert "uint256 public constant BRIDGE_TRANSITION_FRONTIER_LEN = 16;" in src
