@@ -69,12 +69,22 @@ def load_srs(curve_name: str, size: int = SRS_SIZE) -> dict:
     """Load (and cache) the SRS for 'pallas' or 'vesta'.
 
     Returns {'g': (size, 2, NLIMBS) int32 affine limbs, 'h': (2, NLIMBS)}.
+    Only the first `size` points are decompressed on a cold cache: the
+    Tonelli-Shanks host decompression of the full 2^16-point table costs
+    the better part of a minute, which must not be paid by small-domain
+    cold starts (fixtures, the driver's multichip dryrun). A larger
+    cached table is sliced instead of re-decompressing.
     """
     c = {"pallas": PALLAS, "vesta": VESTA}[curve_name]
-    cache = _CACHE_DIR / f"srs_{curve_name}_{size}.npz"
-    if cache.exists():
-        z = np.load(cache)
-        return {"g": z["g"], "h": z["h"], "curve": c}
+    for cached_size in sorted(
+        {size, SRS_SIZE} | _cached_sizes(curve_name)
+    ):
+        if cached_size < size:
+            continue
+        cache = _CACHE_DIR / f"srs_{curve_name}_{cached_size}.npz"
+        if cache.exists():
+            z = np.load(cache)
+            return {"g": z["g"][:size], "h": z["h"], "curve": c}
 
     data = (_SRS_DIR / f"{curve_name}.srs").read_bytes()
     raw_g, raw_h = _parse_msgpack_srs(data)
@@ -83,8 +93,18 @@ def load_srs(curve_name: str, size: int = SRS_SIZE) -> dict:
     g = _decompress_all(c, raw_g[:size])
     h = _decompress_all(c, [raw_h])[0]
     _CACHE_DIR.mkdir(parents=True, exist_ok=True)
-    np.savez_compressed(cache, g=g, h=h)
+    np.savez_compressed(_CACHE_DIR / f"srs_{curve_name}_{size}.npz", g=g, h=h)
     return {"g": g, "h": h, "curve": c}
+
+
+def _cached_sizes(curve_name: str) -> set[int]:
+    try:
+        return {
+            int(p.stem.rsplit("_", 1)[1])
+            for p in _CACHE_DIR.glob(f"srs_{curve_name}_*.npz")
+        }
+    except (ValueError, OSError):
+        return set()
 
 
 def srs_points_host(curve_name: str, size: int) -> tuple[list, tuple]:

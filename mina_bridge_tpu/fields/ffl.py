@@ -138,6 +138,47 @@ def _normalize(
     return x, bounds
 
 
+@functools.cache
+def _compact_conv() -> bool:
+    """Use the low-HLO-count convolution formulation?
+
+    The unrolled schoolbook/Karatsuba emits ~22-44 dynamic-update-slices
+    per field multiply; with hundreds of multiplies in the verifier the
+    CPU-backend XLA compile (2-core driver boxes, multichip dryrun) takes
+    tens of minutes. The compact path emits ~6 HLO ops per multiply with
+    the same integer arithmetic (identical per-position bounds) and a
+    comparable runtime op count, so it is the default on CPU. TPU keeps
+    the unrolled form (measured faster through the fused Pallas path).
+    Override with MINA_BRIDGE_TPU_CONV=compact|unrolled.
+    """
+    import os
+
+    mode = os.environ.get("MINA_BRIDGE_TPU_CONV", "")
+    if mode in ("compact", "unrolled"):
+        return mode == "compact"
+    return jax.default_backend() == "cpu"
+
+
+def _conv_diag(
+    a: jax.Array, ba: Bounds, b: jax.Array, bb: Bounds
+) -> tuple[jax.Array, Bounds]:
+    """conv via outer product + anti-diagonal sums (compile-compact).
+
+    The (la, lb) outer product is padded to row width lb + la, flattened,
+    truncated and re-viewed at row width lb + la - 1: row i of the new
+    view is the original row right-shifted by i, so summing rows yields
+    exactly the convolution's anti-diagonal sums (same int32 bound as
+    schoolbook, asserted by _conv_bounds)."""
+    la, lb = len(ba), len(bb)
+    lead = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
+    outer = a[..., :, None] * b[..., None, :]  # (..., la, lb)
+    outer = jnp.broadcast_to(outer, lead + (la, lb))
+    w = lb + la - 1
+    padded = jnp.pad(outer, [(0, 0)] * len(lead) + [(0, 0), (0, la)])
+    flat = padded.reshape(lead + (la * (lb + la),))[..., : la * w]
+    return flat.reshape(lead + (la, w)).sum(axis=-2), _conv_bounds(ba, bb)
+
+
 def _conv_schoolbook(
     a: jax.Array, ba: Bounds, b: jax.Array, bb: Bounds
 ) -> tuple[jax.Array, Bounds]:
@@ -190,6 +231,8 @@ def _karatsuba_safe(ba: Bounds, bb: Bounds) -> bool:
 def _conv(
     a: jax.Array, ba: Bounds, b: jax.Array, bb: Bounds
 ) -> tuple[jax.Array, Bounds]:
+    if _compact_conv():
+        return _conv_diag(a, ba, b, bb)
     if not _karatsuba_safe(ba, bb):
         return _conv_schoolbook(a, ba, b, bb)
     la = len(ba)

@@ -96,6 +96,23 @@ def _prefix_point_scan(c: CurveSpec, pts: jax.Array, reverse: bool = False):
     return out
 
 
+# Below this point count, a per-lane double-and-add (~2*255*N point-add
+# lanes, no sort/scatter/buckets) beats the Pippenger formulation, whose
+# bucket tail costs ~2 log(2^13) full waves over all 2^13 buckets per
+# window regardless of N. The crossover is ~420 points; the difference at
+# verifier-sized MSMs (N ~ a few hundred) is ~50x runtime.
+SMALL_MSM_MAX = 384
+
+
+def _msm_small(c: CurveSpec, scalars: jax.Array, points: jax.Array) -> jax.Array:
+    """Per-lane double-and-add + tree reduce (small N; see SMALL_MSM_MAX)."""
+    sh = jnp.arange(LIMB_BITS, dtype=jnp.int32)
+    bits = (scalars[..., None] >> sh) & 1  # (N, 20, 13) lsb-first per limb
+    bits = bits.reshape(scalars.shape[0], -1)[:, ::-1]  # msb-first
+    per_lane = jc.scalar_mul(c, bits, points)  # (N, 3, L)
+    return _prefix_point_scan(c, per_lane)[-1]
+
+
 def msm(
     c: CurveSpec,
     scalars: jax.Array,
@@ -109,6 +126,8 @@ def msm(
     Returns one projective REP point (3, REP_LIMBS).
     """
     assert window_bits == LIMB_BITS, "windows are the 13-bit limb digits"
+    if scalars.shape[0] <= SMALL_MSM_MAX:
+        return _msm_small(c, scalars, points)
     digits = scalars_to_digits(scalars)  # (20, N)
     nbuckets = 1 << LIMB_BITS
 
