@@ -37,10 +37,21 @@ decider MSM then discharges — mirroring how pickles passes the step
 verifier's scalar results through the wrap circuit's public input
 (reference README.md:534-604).
 
-Deviation (PARITY D7): the wrap circuit itself does not re-derive the
-step transcript in-circuit (the full pickles deferred-values gadget
-set); the binding above + the decider MSM carry that recursion boundary
-here, and step proofs are fully host-verified at wrap time.
+Deferred-values gadget (wrap_setup): the wrap CIRCUIT re-derives the
+deferred digest with in-circuit poseidon permutation spans (+ generic
+add rows folding the sponge rate) over the step accumulator preimage —
+the folding-challenge 128-bit halves and the sg coordinates, which are
+native Fq values on the wrap side of the Pasta cycle — and wires the
+result to public input 1 by copy constraint. A wrap proof therefore
+cannot even be FORMED for a digest that does not hash the claimed
+accumulator; batch_verify_tips additionally recomputes the digest on
+device from the claimed accumulator (defense in depth).
+
+Remaining deviation (PARITY D7, narrowed): the gadget hashes the step
+verifier's deferred OUTPUT (its accumulator) rather than replaying the
+full step Fiat-Shamir transcript (absorb step commitments, squeeze and
+endo-map beta/gamma/alpha/zeta) in-circuit; step proofs are fully
+host-verified at wrap time (pickles' verified-when-wrapped invariant).
 """
 
 from __future__ import annotations
@@ -60,7 +71,7 @@ from ..fields.params import NLIMBS, int_to_limbs
 from ..kimchi import prover_host, verifier as kv
 from ..kimchi.circuit import COLUMNS, CircuitBuilder
 
-BLOCK_LOG_N = 4  # fixture domain; real Wrap domain is 2^17 (README.md:486)
+BLOCK_LOG_N = 7  # fixture domain; real Wrap domain is 2^17 (README.md:486)
 STEP_LOG_N = 4  # fixture domain; real Step domain is 2^18 (README.md:485)
 MAX_PROOFS_VERIFIED = 2  # pickles' per-proof accumulator arity
 
@@ -80,10 +91,118 @@ def _setup(curve_name: str, log_n: int, npub: int = 1):
     return circuit, index, dindex, g, h
 
 
+def _sponge_gadget(b: CircuitBuilder, n_pairs: int) -> dict:
+    """Circuit rows computing a kimchi sponge digest of 2*n_pairs
+    elements (rate 2): one full 55-round poseidon permutation span per
+    absorbed pair, with generic add rows folding each pair into the
+    running state (the in-circuit twin of hash/poseidon.HostSponge).
+
+    Returns absorb cells (the free preimage witness cells), the digest
+    output cell, and the row bookkeeping the witness filler needs.
+    """
+    zrow = len(b.rows)
+    b.rows.append((1, 0, 0, 0, 0))  # generic: w0 == 0 (constant zero)
+    zero_cell = (0, zrow)
+    absorb_cells, perms, adds = [], [], []
+    prev_out = None
+    for j in range(n_pairs):
+        if j == 0:
+            ins, outs, rows = b.poseidon_permutation()
+            # initial state is (a_0, b_0, 0): the first two permutation
+            # input cells ARE the absorb cells; lane 2 is pinned to zero
+            b.connect([ins[2], zero_cell])
+            absorb_cells.append((ins[0], ins[1]))
+        else:
+            add_a = b.add_gate()  # z = x + y
+            add_b = b.add_gate()
+            ins, outs, rows = b.poseidon_permutation()
+            b.connect([add_a[0], prev_out[0]])  # x = state lane 0
+            b.connect([add_a[2], ins[0]])  # z feeds the permutation
+            b.connect([add_b[0], prev_out[1]])
+            b.connect([add_b[2], ins[1]])
+            b.connect([prev_out[2], ins[2]])  # capacity lane carries over
+            absorb_cells.append((add_a[1], add_b[1]))
+            adds.append((add_a, add_b))
+        perms.append((ins, outs, rows))
+        prev_out = outs
+    return {
+        "absorb": absorb_cells,
+        "digest": prev_out[0],
+        "perms": perms,
+        "adds": adds,
+        "zero": zero_cell,
+    }
+
+
+def _sponge_fill(w, gadget: dict, inputs: list[int], field) -> int:
+    """Fill the _sponge_gadget witness cells; returns the digest."""
+    from ..hash import poseidon
+    from ..hash.poseidon_params import poseidon_spec
+
+    ps = poseidon_spec(field.name)
+    p = field.p
+    n_rounds = len(ps.round_constants)
+    state = [0, 0, 0]
+    w[gadget["zero"][0]][gadget["zero"][1]] = 0
+    for j, (ins, outs, rows) in enumerate(gadget["perms"]):
+        a, b_ = inputs[2 * j] % p, inputs[2 * j + 1] % p
+        s_in = [(state[0] + a) % p, (state[1] + b_) % p, state[2]]
+        if j > 0:
+            add_a, add_b = gadget["adds"][j - 1]
+            for cells, addend, out in ((add_a, a, s_in[0]), (add_b, b_, s_in[1])):
+                (xc, xr), (yc, yr), (zc, zr) = cells
+                w[xc][xr] = state[0] if cells is add_a else state[1]
+                w[yc][yr] = addend
+                w[zc][zr] = out
+        states = [list(s_in)]
+        for r in range(n_rounds):
+            states.append(poseidon.host_permute_round(ps, states[-1], r))
+        from ..kimchi import gates as G
+
+        for ridx, row in enumerate(rows[:-1]):
+            st5 = states[G.ROUNDS_PER_ROW * ridx : G.ROUNDS_PER_ROW * (ridx + 1)]
+            for i, st in enumerate(st5):
+                for lane in range(3):
+                    w[3 * i + lane][row] = st[lane]
+        for lane in range(3):
+            w[lane][rows[-1]] = states[-1][lane]
+        state = states[-1]
+    return state[0]
+
+
+@functools.cache
+def wrap_setup(log_n: int = BLOCK_LOG_N, step_log_n: int = STEP_LOG_N):
+    """Wrap-side (Pallas) setup with the DEFERRED-VALUES GADGET: the
+    circuit itself recomputes the step accumulator's digest (the
+    step-verifier's deferred scalars) with in-circuit poseidon rows and
+    constrains it to equal public input 1 — closing the host-side half
+    of PARITY D7 (reference README.md:534-604: pickles passes the step
+    verifier's results through the wrap circuit).
+
+    Public inputs: [state_hash, deferred_digest]. The absorb cells hold
+    the step accumulator preimage (folding-challenge 128-bit halves +
+    sg coordinates, which are NATIVE Fq values on the wrap side of the
+    Pasta cycle)."""
+    curve = PALLAS
+    b = CircuitBuilder(curve.scalar, log_n)
+    pub_hash = b.public_input()
+    pub_digest = b.public_input()
+    n_pairs = step_log_n + 1  # k chal-halves pairs + the sg (x, y) pair
+    gadget = _sponge_gadget(b, n_pairs)
+    b.connect([gadget["digest"], pub_digest])
+    circuit = b.build()
+    g, h = srs_points_host("pallas", circuit.n)
+    index = prover_host.setup(circuit, curve, g, h)
+    dindex = kv.DeviceVerifierIndex.from_host(index, g, h)
+    return circuit, gadget, index, dindex, g, h
+
+
 def block_setup(log_n: int = BLOCK_LOG_N):
     """Wrap-side (Pallas) setup — the proof the bridge actually receives.
-    Public inputs: [state_hash, deferred_digest]."""
-    return _setup("pallas", log_n, npub=2)
+    Public inputs: [state_hash, deferred_digest] (digest re-derived
+    in-circuit by the deferred-values gadget, see wrap_setup)."""
+    circuit, _gadget, index, dindex, g, h = wrap_setup(log_n)
+    return circuit, index, dindex, g, h
 
 
 def step_setup(log_n: int = STEP_LOG_N):
@@ -139,7 +258,7 @@ def prove_tip(
     (whose accumulator is deferred to the decider) wrapped by a Pallas
     proof carrying up to MAX_PROOFS_VERIFIED pallas-side accumulators."""
     rng = rng or random.Random(0xB10C)
-    step_log_n = log_n if step_log_n is None else step_log_n
+    step_log_n = STEP_LOG_N if step_log_n is None else step_log_n
 
     # --- step proof on Vesta (scalar field Fp = the state-hash field) ---
     s_circuit, s_index, _, s_g, s_h = step_setup(step_log_n)
@@ -156,14 +275,22 @@ def prove_tip(
     step_chals, step_sg = step_proof.accumulator()
 
     # --- wrap proof on Pallas carrying the pallas-side accumulator chain ---
-    w_circuit, w_index, _, w_g, w_h = block_setup(log_n)
+    w_circuit, gadget, w_index, _, w_g, w_h = wrap_setup(log_n, step_log_n)
     wp = PALLAS.scalar.p
     accs = list(prev_wrap_accs)[:MAX_PROOFS_VERIFIED]
     while len(accs) < MAX_PROOFS_VERIFIED:
         accs.append(dummy_accumulator("pallas", log_n))
     n = w_circuit.n
     w = [[0] * n for _ in range(COLUMNS)]
-    digest = deferred_digest_host(step_chals, step_sg)
+    # deferred-values gadget witness: the digest is COMPUTED IN-CIRCUIT
+    # from the step accumulator preimage and wired to public input 1
+    preimage = []
+    for c in step_chals:
+        lo, hi = ipa._split_scalar(VESTA, c)
+        preimage += [lo, hi]
+    preimage += [step_sg[0], step_sg[1]]
+    digest = _sponge_fill(w, gadget, preimage, PALLAS.scalar)
+    assert digest == deferred_digest_host(step_chals, step_sg)
     public = [state_hash % wp, digest]
     w[0][0], w[0][1] = public
     wrap_proof = prover_host.prove(
@@ -225,7 +352,7 @@ def batch_verify_tips(
 
     rand_weights: (B, 3, NLIMBS) — (w, rho) for the wrap opening combine
     plus the decider weight."""
-    step_log_n = log_n if step_log_n is None else step_log_n
+    step_log_n = STEP_LOG_N if step_log_n is None else step_log_n
     _, _, dindex, _, _ = block_setup(log_n)
     wrap_ok = kv.verify(dindex, dtips.wrap, rand_weights[:, :2])
     # deferred-values binding: the wrap public input's second element

@@ -4,7 +4,8 @@ Host layer: the wrap proof carries pallas-side recursion accumulators
 (prev_challenges) which the verifier re-opens inside its single MSM;
 the step proof's vesta-side accumulator is checked by the batched
 decider MSM. Device layer: batch_verify_tips runs both programs on the
-canonical tip shape (B=2, n=16, R=2).
+canonical tip shape (B=2, wrap n=128 with the deferred-values gadget
+rows, step n=16, R=2).
 """
 
 import random
@@ -119,3 +120,48 @@ def test_deferred_digest_binds_accumulator(tips):
     assert tip1.wrap.public[1] == pk.deferred_digest_host(
         tip1.step_acc_chals, tip1.step_acc_sg
     )
+
+
+def test_wrap_circuit_computes_digest_in_circuit(tips):
+    """PARITY D7 gadget: the wrap circuit itself hashes the accumulator
+    preimage (in-circuit poseidon sponge) and pins public input 1 to the
+    result — a wrap witness with a wrong digest is UNPROVABLE."""
+    tip1, _ = tips
+    from mina_bridge_tpu.kimchi.circuit import COLUMNS
+
+    w_circuit, gadget, w_index, _, w_g, w_h = pk.wrap_setup()
+    fs = PALLAS.scalar
+    w = [[0] * w_circuit.n for _ in range(COLUMNS)]
+    pre = []
+    for c in tip1.step_acc_chals:
+        lo, hi = ipa._split_scalar(VESTA, c)
+        pre += [lo, hi]
+    pre += [tip1.step_acc_sg[0], tip1.step_acc_sg[1]]
+    digest = pk._sponge_fill(w, gadget, pre, fs)
+    # in-circuit sponge == host sponge
+    assert digest == pk.deferred_digest_host(
+        tip1.step_acc_chals, tip1.step_acc_sg
+    )
+    # honest witness proves
+    w[0][0], w[0][1] = 1, digest
+    rng = random.Random(3)
+    pr = prover_host.prove(w_index, w_circuit, w, [1, digest], w_g, w_h, rng)
+    assert prover_host.host_verify(w_index, pr, w_g, w_h)
+    # wrong digest: the copy constraint to the gadget output fails
+    bad_digest = (digest + 1) % fs.p
+    w[0][1] = bad_digest
+    with pytest.raises(AssertionError):
+        prover_host.prove(
+            w_index, w_circuit, w, [1, bad_digest], w_g, w_h, rng
+        )
+    # tampered preimage (different accumulator, same digest claim):
+    # the poseidon rows no longer hash to the claimed digest
+    w2 = [[0] * w_circuit.n for _ in range(COLUMNS)]
+    pre2 = list(pre)
+    pre2[0] = (pre2[0] + 1) % fs.p
+    pk._sponge_fill(w2, gadget, pre2, fs)
+    w2[0][0], w2[0][1] = 1, digest
+    with pytest.raises(AssertionError):
+        prover_host.prove(
+            w_index, w_circuit, w2, [1, digest], w_g, w_h, rng
+        )
