@@ -157,19 +157,23 @@ def main():
     pps = bench_msm()
     result["value"] = round(pps)
     result["vs_baseline"] = round(pps / RUST_BASELINE_POINTS_PER_SEC, 3)
+    # land the headline line NOW (the verifier stage may exceed the
+    # driver's budget on a cold machine); a combined line with the same
+    # keys plus the verifier metric is printed after, so the last
+    # parseable JSON line always carries the most information.
+    print(json.dumps(result), flush=True)
 
     elapsed = time.time() - START
-    if elapsed < BUDGET_S * 0.5:
+    if elapsed < BUDGET_S * 0.75:
         try:
             vps = bench_verifier()
             if vps is not None:
                 result["kimchi_verify_2e16_proofs_per_sec"] = round(vps, 3)
-        except Exception as e:  # never lose the headline line
+                print(json.dumps(result), flush=True)
+        except Exception as e:
             log("verifier bench failed:", repr(e))
     else:
         log(f"skipping verifier bench (elapsed {elapsed:.0f}s)")
-
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":
