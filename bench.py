@@ -30,7 +30,9 @@ sys.modules["zstandard"] = None  # see tests/conftest.py: zstd cache segfault
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/mina_bridge_tpu_jax_cache")
+from mina_bridge_tpu.utils.compile_cache import cache_dir as _cache_dir
+
+jax.config.update("jax_compilation_cache_dir", _cache_dir())
 # Only persist expensive executables: XLA's CPU executable serialize()
 # segfaults on certain small graphs; the big ones (the only ones worth
 # caching) serialize fine.
@@ -104,13 +106,19 @@ def bench_msm():
 
 
 def bench_verifier():
-    """Batched kimchi verify at n=2^16 from the committed fixture."""
+    """Batched kimchi verify at n=2^16 from the committed fixture.
+
+    Prefers the B=8 fixture (the transcript's sequential poseidon chain
+    dominates wall time and is batch-invariant, so proofs/s scales
+    nearly linearly with B until the per-proof MSM rows catch up);
+    falls back to B=2."""
     from mina_bridge_tpu.curves.srs import srs_points_host
     from mina_bridge_tpu.fields.params import NLIMBS, int_to_limbs
     from mina_bridge_tpu.kimchi import bench_fixtures as bf, verifier
 
     t0 = time.time()
-    index, proofs = bf.get_fixture(16, 2)
+    batch = 8 if bf.fixture_path(16, 8).exists() else 2
+    index, proofs = bf.get_fixture(16, batch)
     g, h = srs_points_host("pallas", index.domain.n)
     dindex = verifier.DeviceVerifierIndex.from_host(index, g, h)
     dproofs = verifier.DeviceProofs.from_host(proofs)
@@ -138,11 +146,24 @@ def bench_verifier():
     if not bool(ok):
         log("verifier fixture REJECTED — not reporting throughput")
         return None
+    # fresh rand_weights per iteration (legitimate verifier randomness;
+    # also defeats the relay's identical-input result cache), pipelined
+    # dispatches with one sync pass at the end (serving shape)
     iters = 3
+    variants = []
+    for it in range(iters):
+        rw_i = np.asarray(rw).copy()
+        for b in range(B):
+            for j in range(rw_i.shape[1]):
+                rw_i[b, j] = int_to_limbs(
+                    int.from_bytes(rng.bytes(16), "little"), NLIMBS
+                )
+        variants.append(jax.tree_util.tree_flatten((dproofs, jnp.asarray(rw_i)))[0])
     t0 = time.time()
-    for _ in range(iters):
-        ok = np.asarray(f(*leaves))
+    outs = [f(*lv) for lv in variants]
+    oks = [bool(np.asarray(o)) for o in outs]
     dt = (time.time() - t0) / iters
+    assert all(oks), oks
     pps = B / dt
     log(f"kimchi verify n=2^16 B={B}: {dt*1e3:.1f} ms -> {pps:.2f} proofs/s")
     return pps

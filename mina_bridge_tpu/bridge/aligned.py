@@ -106,7 +106,14 @@ def save_proof_files(
 class TpuVerifierService:
     """The batcher+operator replacement: verify, then batch-commit."""
 
-    def __init__(self, block_log_n: int = 4, on_batch_root=None):
+    def __init__(self, block_log_n: int | None = None, on_batch_root=None):
+        if block_log_n is None:
+            # track the pickles wrap fixture domain: a stale literal here
+            # broke every default-constructed service when the wrap
+            # circuit outgrew 2^4 rows (round-2 deferred-values gadget)
+            from ..pickles.verifier import BLOCK_LOG_N
+
+            block_log_n = BLOCK_LOG_N
         self.block_log_n = block_log_n
         self.pending: list[tuple[bytes, bytes, bytes]] = []
         # operator hook: post the batch root to the on-chain registry

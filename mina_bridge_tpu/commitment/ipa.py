@@ -416,11 +416,20 @@ def host_verify(
 # ---------------------------------------------------------------------------
 
 def aff_to_rep(pts: jax.Array) -> jax.Array:
-    """(..., 2, NLIMBS) canonical affine -> (..., 3, REP_LIMBS) projective."""
+    """(..., 2, NLIMBS) canonical affine -> (..., 3, REP_LIMBS) projective.
+
+    (0,0) encodes the identity (not on the curve, so unambiguous). The
+    identity MUST map to the representative (0:1:0), NOT (0:0:0): the
+    all-zero triple is an *absorbing* element of the complete RCB
+    formulas (every output term carries a zero factor, so P + (0,0,0) =
+    (0,0,0) which reads as "identity") — it silently collapsed any MSM
+    containing an identity commitment row to the identity, making the
+    batched-opening soundness check vacuous (round-3 fix; the verifier's
+    public/ft/t_joint commitment slots are always identity rows)."""
     x = ffl.from_canon(pts[..., 0, :])
     y = ffl.from_canon(pts[..., 1, :])
-    # (0,0) encodes the identity (not on the curve, so unambiguous)
     inf = jnp.all(pts == 0, axis=(-1, -2))
+    y = y.at[..., 0].set(jnp.where(inf, 1, y[..., 0]))
     z = jnp.zeros_like(x).at[..., 0].set(jnp.where(inf, 0, 1))
     return jnp.stack([x, y, z], axis=-2)
 

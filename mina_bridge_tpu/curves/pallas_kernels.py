@@ -15,6 +15,7 @@ the body is written with rows.py ops; `use_pallas()` picks the path.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -23,7 +24,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..fields import rows
-from ..fields.ffl import REP_LIMBS
+from ..fields.ffl import REP_LIMBS, _fold_mode
 from .host import B_COEFF, CurveSpec
 
 B3 = 3 * B_COEFF
@@ -191,9 +192,54 @@ def _point_spec():
     )
 
 
+def _mask_spec():
+    return pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
+
+
+def _cmat_spec():
+    return pl.BlockSpec(
+        (20, rows.FOLD_MAT_ROWS), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+
 def _pad_lanes(x: jax.Array, n: int) -> jax.Array:
     pad = [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])]
     return jnp.pad(x, pad) if n != x.shape[-1] else x
+
+
+def _pallas_apply(c: CurveSpec, body, pts, masks, npad):
+    """Run `body(*pts, *masks) -> (3, L, BLOCK)` as a gridded kernel.
+
+    In matrix-fold mode the (20, 31) fold matrix rides as an explicit
+    kernel operand (Mosaic kernels must not capture array constants) and
+    is pushed to rows.fold_ctx for the duration of the body trace."""
+    use_mat = _fold_mode() == "matrix"
+    cmat_in = (jnp.asarray(rows.fold_matrix_T(c.base)),) if use_mat else ()
+    np_, nm = len(pts), len(masks)
+
+    def kernel(*refs):
+        o_ref = refs[-1]
+        off = 1 if use_mat else 0
+        prefs = refs[off : off + np_]
+        mrefs = refs[off + np_ : off + np_ + nm]
+        ctx = (
+            rows.fold_ctx(refs[0][:]) if use_mat else contextlib.nullcontext()
+        )
+        with ctx:
+            o_ref[:] = body(*(r[:] for r in prefs), *(r[:] for r in mrefs))
+
+    in_specs = (
+        ([_cmat_spec()] if use_mat else [])
+        + [_point_spec()] * np_
+        + [_mask_spec()] * nm
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(npad // BLOCK,),
+        in_specs=in_specs,
+        out_specs=_point_spec(),
+        out_shape=jax.ShapeDtypeStruct((3, REP_LIMBS, npad), jnp.int32),
+    )(*cmat_in, *pts, *masks)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -204,17 +250,9 @@ def padd(c: CurveSpec, p: jax.Array, q: jax.Array) -> jax.Array:
         return padd_rows(c, p, q)
     npad = -(-n // BLOCK) * BLOCK
     p2, q2 = _pad_lanes(p, npad), _pad_lanes(q, npad)
-
-    def kernel(p_ref, q_ref, o_ref):
-        o_ref[:] = padd_rows(c, p_ref[:], q_ref[:])
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(npad // BLOCK,),
-        in_specs=[_point_spec(), _point_spec()],
-        out_specs=_point_spec(),
-        out_shape=jax.ShapeDtypeStruct((3, REP_LIMBS, npad), jnp.int32),
-    )(p2, q2)
+    out = _pallas_apply(
+        c, lambda pv, qv: padd_rows(c, pv, qv), (p2, q2), (), npad
+    )
     return out[..., :n]
 
 
@@ -225,17 +263,7 @@ def pdouble(c: CurveSpec, p: jax.Array) -> jax.Array:
         return pdouble_rows(c, p)
     npad = -(-n // BLOCK) * BLOCK
     p2 = _pad_lanes(p, npad)
-
-    def kernel(p_ref, o_ref):
-        o_ref[:] = pdouble_rows(c, p_ref[:])
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(npad // BLOCK,),
-        in_specs=[_point_spec()],
-        out_specs=_point_spec(),
-        out_shape=jax.ShapeDtypeStruct((3, REP_LIMBS, npad), jnp.int32),
-    )(p2)
+    out = _pallas_apply(c, lambda pv: pdouble_rows(c, pv), (p2,), (), npad)
     return out[..., :n]
 
 
@@ -248,21 +276,13 @@ def padd_select(c: CurveSpec, p, q, keep_q_mask):
     npad = -(-n // BLOCK) * BLOCK
     p2, q2 = _pad_lanes(p, npad), _pad_lanes(q, npad)
     m2 = _pad_lanes(keep_q_mask.astype(jnp.int32), npad)
-
-    def kernel(p_ref, q_ref, m_ref, o_ref):
-        o_ref[:] = padd_select_rows(c, p_ref[:], q_ref[:], m_ref[:])
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(npad // BLOCK,),
-        in_specs=[
-            _point_spec(),
-            _point_spec(),
-            pl.BlockSpec((BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
-        ],
-        out_specs=_point_spec(),
-        out_shape=jax.ShapeDtypeStruct((3, REP_LIMBS, npad), jnp.int32),
-    )(p2, q2, m2)
+    out = _pallas_apply(
+        c,
+        lambda pv, qv, mv: padd_select_rows(c, pv, qv, mv),
+        (p2, q2),
+        (m2,),
+        npad,
+    )
     return out[..., :n]
 
 
@@ -280,20 +300,11 @@ def padd_mixed_select(c: CurveSpec, p, q, keep_q_mask, q_inf_mask):
     if npad != n:
         lane = jnp.arange(npad, dtype=jnp.int32)
         i2 = jnp.where(lane >= n, 1, i2)
-
-    def kernel(p_ref, q_ref, m_ref, i_ref, o_ref):
-        o_ref[:] = padd_mixed_select_rows(
-            c, p_ref[:], q_ref[:], m_ref[:], i_ref[:]
-        )
-
-    mask_spec = pl.BlockSpec(
-        (BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM
+    out = _pallas_apply(
+        c,
+        lambda pv, qv, mv, iv: padd_mixed_select_rows(c, pv, qv, mv, iv),
+        (p2, q2),
+        (m2, i2),
+        npad,
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(npad // BLOCK,),
-        in_specs=[_point_spec(), _point_spec(), mask_spec, mask_spec],
-        out_specs=_point_spec(),
-        out_shape=jax.ShapeDtypeStruct((3, REP_LIMBS, npad), jnp.int32),
-    )(p2, q2, m2, i2)
     return out[..., :n]

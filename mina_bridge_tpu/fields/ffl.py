@@ -110,6 +110,36 @@ def _fold_const(spec: FieldSpec) -> tuple[np.ndarray, Bounds]:
     return arr, tuple(int(v) for v in arr)
 
 
+@functools.cache
+def _fold_matrix(spec: FieldSpec, nhi: int) -> tuple[np.ndarray, tuple]:
+    """(nhi, 20) int32: row j = canonical 20 limbs of 2^(13*(20+j)) mod p.
+
+    One-shot positive fold: for normalized input x (limbs <= LOOSE),
+    value === sum_{i<20} x_i 2^(13i) + sum_j x_{20+j} * row_j (mod p),
+    with every accumulated output limb < nhi * LOOSE * 8191 < 2^31 for
+    nhi <= 31 — no negative intermediates, no spread offsets, and no
+    fold cascade (the legacy conv-with-64*t0 fold re-expands into high
+    limbs and needs 3 fold+normalize rounds to terminate)."""
+    assert nhi <= 31, "fold-matrix accumulation would overflow int32"
+    rows_ = [
+        int_to_limbs(pow(2, LIMB_BITS * (20 + j), spec.p), 20)
+        for j in range(nhi)
+    ]
+    mat = np.stack(rows_).astype(np.int32) if nhi else np.zeros((0, 20), np.int32)
+    return mat, tuple(tuple(int(v) for v in r) for r in rows_)
+
+
+@functools.cache
+def _fold_mode() -> str:
+    """'matrix' (one-shot positive fold, default) or 'legacy' (3-stage
+    conv fold with spread offsets). Override: MINA_BRIDGE_TPU_FOLD."""
+    import os
+
+    mode = os.environ.get("MINA_BRIDGE_TPU_FOLD", "matrix")
+    assert mode in ("matrix", "legacy")
+    return mode
+
+
 # ---------------------------------------------------------------------------
 # Carry rounds and convolution on (array, bounds) pairs
 # ---------------------------------------------------------------------------
@@ -281,13 +311,35 @@ def _fold(
     return out, nb
 
 
+def _fold_mat(
+    spec: FieldSpec, x: jax.Array, bounds: Bounds
+) -> tuple[jax.Array, Bounds]:
+    """One-shot fold of every limb >= 20 into 20 limbs via _fold_matrix:
+    m = hi @ C, out = lo + m. Requires normalized input (<= LOOSE)."""
+    assert all(b <= LOOSE for b in bounds)
+    nhi = len(bounds) - 20
+    lo, blo = x[..., :20], bounds[:20]
+    hi, bhi = x[..., 20:], bounds[20:]
+    mat, rows_b = _fold_matrix(spec, nhi)
+    m = jnp.einsum(
+        "...j,ji->...i", hi, jnp.asarray(mat), preferred_element_type=jnp.int32
+    )
+    nb = tuple(
+        blo[i] + sum(bhi[j] * rows_b[j][i] for j in range(nhi))
+        for i in range(20)
+    )
+    assert all(v < (1 << 31) for v in nb), "fold-matrix bound overflow"
+    return lo + m, nb
+
+
 def _reduce(
     spec: FieldSpec, x: jax.Array, bounds: Bounds
 ) -> tuple[jax.Array, Bounds]:
     """Bring any non-negative (array, bounds) into REP."""
+    fold = _fold_mat if _fold_mode() == "matrix" else _fold
     x, bounds = _normalize(x, bounds)
     while len(bounds) > REP_LIMBS:
-        x, bounds = _fold(spec, x, bounds)
+        x, bounds = fold(spec, x, bounds)
         x, bounds = _normalize(x, bounds)
     if len(bounds) < REP_LIMBS:
         pad = [(0, 0)] * (x.ndim - 1) + [(0, REP_LIMBS - len(bounds))]

@@ -16,8 +16,12 @@ no scatter ops (shifted accumulations are pad+add).
 
 from __future__ import annotations
 
+import contextlib
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .params import LIMB_BITS, LIMB_MASK, FieldSpec
 from .ffl import (
@@ -27,6 +31,8 @@ from .ffl import (
     Bounds,
     _conv_bounds,
     _fold_const,
+    _fold_matrix,
+    _fold_mode,
     _karatsuba_safe,
     _spread_offset,
     _sub_offset,
@@ -134,6 +140,64 @@ def conv_const_r(a, ba: Bounds, cvec):
     return out, _conv_bounds(ba, tuple(int(v) for v in cvec))
 
 
+# --- one-shot matrix fold (rows twin of ffl._fold_mat) -------------------
+#
+# Inside a Mosaic kernel the (20, 31) fold matrix cannot be captured as
+# an array constant (kernel-safety rule, see module docstring): the
+# pallas_call wrappers pass it as an explicit kernel operand and push the
+# traced ref value here via fold_ctx(). Outside kernels the jnp einsum
+# path against the numpy constant is used directly.
+
+FOLD_MAT_ROWS = 31  # int32-safe cap: 31 * LOOSE * 8191 < 2^31
+
+
+@functools.cache
+def fold_matrix_T(spec: FieldSpec) -> np.ndarray:
+    """(20, FOLD_MAT_ROWS) transposed fold matrix (kernel operand form)."""
+    mat, _ = _fold_matrix(spec, FOLD_MAT_ROWS)
+    return np.ascontiguousarray(mat.T)
+
+
+_fold_ctx_stack: list = []
+
+
+@contextlib.contextmanager
+def fold_ctx(cmat):
+    """Provide the traced (20, >=nhi) fold-matrix value while tracing a
+    kernel body (column j = canonical limbs of 2^(13*(20+j)) mod p)."""
+    _fold_ctx_stack.append(cmat)
+    try:
+        yield
+    finally:
+        _fold_ctx_stack.pop()
+
+
+def _fold_mat_r(spec: FieldSpec, x, bounds: Bounds):
+    assert all(b <= LOOSE for b in bounds)
+    nhi = len(bounds) - 20
+    lo, blo = x[..., :20, :], bounds[:20]
+    hi, bhi = x[..., 20:, :], bounds[20:]
+    mat, rows_b = _fold_matrix(spec, nhi)
+    if _fold_ctx_stack:
+        cmat = _fold_ctx_stack[-1]
+        m = jnp.zeros(x.shape[:-2] + (20, x.shape[-1]), jnp.int32)
+        for j in range(nhi):
+            m = m + hi[..., j : j + 1, :] * cmat[:, j : j + 1]
+    else:
+        m = jnp.einsum(
+            "...jb,ji->...ib",
+            hi,
+            jnp.asarray(mat),
+            preferred_element_type=jnp.int32,
+        )
+    nb = tuple(
+        blo[i] + sum(bhi[j] * rows_b[j][i] for j in range(nhi))
+        for i in range(20)
+    )
+    assert all(v < (1 << 31) for v in nb), "fold-matrix bound overflow"
+    return lo + m, nb
+
+
 def _fold_r(spec: FieldSpec, x, bounds: Bounds):
     lo, blo = x[..., :20, :], bounds[:20]
     hi, bhi = x[..., 20:, :], bounds[20:]
@@ -149,9 +213,10 @@ def _fold_r(spec: FieldSpec, x, bounds: Bounds):
 
 
 def _reduce_r(spec: FieldSpec, x, bounds: Bounds):
+    fold = _fold_mat_r if _fold_mode() == "matrix" else _fold_r
     x, bounds = _normalize_r(x, bounds)
     while len(bounds) > REP_LIMBS:
-        x, bounds = _fold_r(spec, x, bounds)
+        x, bounds = fold(spec, x, bounds)
         x, bounds = _normalize_r(x, bounds)
     if len(bounds) < REP_LIMBS:
         pad = [(0, 0)] * (x.ndim - 2) + [(0, REP_LIMBS - len(bounds)), (0, 0)]

@@ -87,8 +87,13 @@ _cc.put_executable_and_time = _forked_put
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: field/curve kernels are scan-heavy and slow
-# to compile; cache across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/mina_bridge_tpu_jax_cache")
+# to compile; cache across test runs. The dir is fingerprinted by the host
+# CPU's feature flags — XLA:CPU AOT executables are host-ISA-specific but
+# jax's cache key is not, and a stale cross-machine hit miscomputes (it
+# produced a false `ok` out of jit_verify in round 3).
+from mina_bridge_tpu.utils.compile_cache import cache_dir as _cache_dir
+
+jax.config.update("jax_compilation_cache_dir", _cache_dir())
 # Only persist expensive executables: XLA's CPU executable serialize()
 # segfaults on certain small graphs; the big ones (the only ones worth
 # caching) serialize fine.

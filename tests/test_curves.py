@@ -72,3 +72,31 @@ def test_compress_roundtrip(rng):
     for c in CURVES:
         for pt in rand_points(rng, c, 4) + [None]:
             assert hc.decompress(c, hc.compress(c, pt)) == pt
+
+
+def test_aff_to_rep_identity_not_absorbing(rng):
+    """Regression (round 3): the affine (0,0) identity encoding must map
+    to the projective representative (0:1:0). The all-zero (0:0:0)
+    triple is an ABSORBING element of the complete RCB add (every output
+    term has a zero factor, so P + (0,0,0) = (0,0,0)), which silently
+    collapsed every verifier MSM containing an identity commitment row
+    to "identity" — a full soundness bypass of the batched opening
+    check."""
+    import numpy as np
+
+    from mina_bridge_tpu.commitment.ipa import aff_to_rep
+    from mina_bridge_tpu.fields.params import NLIMBS, int_to_limbs
+
+    c = PALLAS
+    (pt,) = rand_points(rng, c, 1)
+    aff = np.zeros((2, 2, NLIMBS), np.int32)
+    aff[0, 0] = int_to_limbs(pt[0], NLIMBS)
+    aff[0, 1] = int_to_limbs(pt[1], NLIMBS)
+    # aff[1] stays all-zero: the identity encoding
+    rep = aff_to_rep(jnp.asarray(aff))
+    # identity maps to (0:1:0), and P + identity == P through jc.add
+    assert jc.to_affine_ints(c, rep) == [pt, None]
+    s = jax.jit(jc.add, static_argnums=0)(c, rep[0], rep[1])
+    assert jc.to_affine_ints(c, s[None]) == [pt]
+    s2 = jax.jit(jc.add, static_argnums=0)(c, rep[1], rep[1])
+    assert jc.to_affine_ints(c, s2[None]) == [None]

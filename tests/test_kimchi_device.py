@@ -66,3 +66,15 @@ def test_device_reject_tampered(proven):
     bad2 = dataclasses.replace(dproofs, z1=dproofs.z1.at[1, 3].add(1))
     ok2 = verifier.verify(dindex, bad2, rand_weights(curve, 2))
     assert not bool(ok2)
+
+    # z2, sg and delta enter ONLY the batched MSM (never the transcript):
+    # their rejection proves the MSM identity check itself is live. The
+    # round-3 absorbing-identity bug (ipa.aff_to_rep encoding the
+    # identity as (0,0,0), which swallows the whole RCB point sum) made
+    # exactly these corruptions pass while transcript-bound ones still
+    # failed via the U-hint validation.
+    bad3 = dataclasses.replace(dproofs, z2=dproofs.z2.at[0, 2].add(1))
+    assert not bool(verifier.verify(dindex, bad3, rand_weights(curve, 2)))
+
+    bad4 = dataclasses.replace(dproofs, sg=dproofs.sg.at[1, 0, 0].add(1))
+    assert not bool(verifier.verify(dindex, bad4, rand_weights(curve, 2)))
