@@ -539,7 +539,7 @@ def _powers(spec, base_rep: jax.Array, count: int) -> list[jax.Array]:
         block = ffl.mul(spec, pows, sq[None])  # one batched call
         pows = jnp.concatenate([pows, block], axis=0)[: max(count, 1)]
         if pows.shape[0] < count:
-            sq = ffl.mul(spec, sq, sq)
+            sq = ffl.square(spec, sq)
     return [pows[i] for i in range(count)]
 
 
@@ -553,8 +553,14 @@ def batch_verify(
     v=None,
     u=None,
     virtual_rows=(),
+    extra_pairs=(),
 ) -> jax.Array:
     """Verify a batch of opening proofs with ONE combined MSM (bool result).
+
+    extra_pairs: additional (affine_points, lazy_scalar) pairs folded
+    into the same MSM — used by callers to bind side claims (e.g. the
+    kimchi verifier's host-hinted public commitment) under their own
+    verifier-random weight by Schwartz-Zippel.
 
     virtual_rows: rows of the v-combine whose commitment is a linear
     combination of OTHER points (e.g. kimchi's ft linearization and
@@ -631,7 +637,7 @@ def batch_verify(
     for i in range(k):
         term = ffl.add(fs, one, ffl.mul(fs, chals[k - 1 - i][:, None], xp))
         hval = ffl.mul(fs, hval, term)
-        xp = ffl.mul(fs, xp, xp)
+        xp = ffl.square(fs, xp)
     b0 = ffl.zeros(fs, (B,))
     for j in range(npts):
         b0 = ffl.add(fs, b0, ffl.mul(fs, u_pows[j], hval[:, j]))
@@ -673,6 +679,13 @@ def batch_verify(
             pts_aff = jnp.broadcast_to(pts_aff, (B,) + pts_aff.shape)
         extra_points.append(aff_to_rep(pts_aff))
         extra_scalars.append(ffl.canon(fs, coeff))
+    for pts_aff, lam in extra_pairs:
+        if pts_aff.ndim == 2:
+            pts_aff = jnp.broadcast_to(pts_aff, (B,) + pts_aff.shape)
+        if lam.ndim == 1:
+            lam = jnp.broadcast_to(lam, (B,) + lam.shape)
+        extra_points.append(aff_to_rep(pts_aff))
+        extra_scalars.append(ffl.canon(fs, lam))
 
     # --- point assembly ---
     points = jnp.concatenate(

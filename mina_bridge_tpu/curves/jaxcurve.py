@@ -159,12 +159,12 @@ def double(c: CurveSpec, p: jax.Array) -> jax.Array:
     s = lambda u, v: ffl.sub(f, u, v)
     x, y, z = p[..., 0, :], p[..., 1, :], p[..., 2, :]
 
-    t0 = m(y, y)
+    t0 = ffl.square(f, y)
     z3 = a_(t0, t0)
     z3 = a_(z3, z3)
     z3 = a_(z3, z3)
     t1 = m(y, z)
-    t2 = m(z, z)
+    t2 = ffl.square(f, z)
     t2 = ffl.mul_small(f, t2, B3)
     x3 = m(t2, z3)
     y3 = a_(t0, t2)

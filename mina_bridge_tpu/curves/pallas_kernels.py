@@ -102,6 +102,11 @@ def pdouble_rows(c: CurveSpec, p: jax.Array) -> jax.Array:
     s = lambda u, v: rows.sub_r(f, u, v)
     x, y, z = p[0], p[1], p[2]
 
+    # NOTE: rows.square_r is deliberately NOT used here: the pdouble win
+    # is negligible (doubles are ~250 single-lane Horner steps per MSM)
+    # and keeping the kernel on plain muls holds its Mosaic/XLA graph at
+    # the long-validated shape. ffl.square carries the squaring win on
+    # the transcript-side paths where it matters.
     t0 = m(y, y)
     z3 = a_(t0, t0)
     z3 = a_(z3, z3)

@@ -290,6 +290,53 @@ def _conv(
     return out, _conv_bounds(ba, bb)
 
 
+def _sqr_schoolbook(a: jax.Array, ba: Bounds) -> tuple[jax.Array, Bounds]:
+    """conv(a, a) via the triangular formulation: ~la^2/2 products
+    (2*a_i*a_j for i<j, plus the diagonal) instead of la^2. Valid for
+    signed inputs (Karatsuba middle terms); positional bounds equal the
+    schoolbook conv bounds (identical final values), and the doubled
+    products |a_i * 2a_j| <= LOOSE * 2*LOOSE < 2^31."""
+    la = len(ba)
+    shape = a.shape[:-1]
+    two_a = a * 2
+    out = jnp.zeros(shape + (2 * la - 1,), dtype=jnp.int32)
+    for j in range(1, la):
+        out = out.at[..., j : 2 * j].add(a[..., :j] * two_a[..., j : j + 1])
+    sq = a * a
+    # diagonal lands at even positions: interleave with zeros (no scatter)
+    diag = jnp.stack([sq, jnp.zeros_like(sq)], axis=-1).reshape(
+        shape + (2 * la,)
+    )[..., : 2 * la - 1]
+    return out + diag, _conv_bounds(ba, ba)
+
+
+def _conv_sqr(a: jax.Array, ba: Bounds) -> tuple[jax.Array, Bounds]:
+    """Squaring convolution: Karatsuba where safe, all three half-size
+    products squares themselves (z1 = z0 + z2 - (a0-a1)^2)."""
+    if _compact_conv():
+        return _conv_diag(a, ba, a, ba)  # compact path: lowest HLO count
+    if not _karatsuba_safe(ba, ba):
+        return _sqr_schoolbook(a, ba)
+    la = len(ba)
+    h, bd_a, _ = _kara_halves(ba, ba)
+    lo = la - h
+
+    def padh(x, l):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, h - l)])
+
+    a0, a1 = a[..., :h], padh(a[..., h:], lo)
+    z0, _ = _conv_sqr(a0, ba[:h])
+    z2, _ = _conv_sqr(a[..., h:], ba[h:])
+    m, _ = _sqr_schoolbook(a0 - a1, bd_a)  # signed diffs, still a square
+    z2p = jnp.pad(z2, [(0, 0)] * (z2.ndim - 1) + [(0, (2 * h - 1) - (2 * lo - 1))])
+    z1 = (z0 + z2p) - m
+    out = jnp.zeros(a.shape[:-1] + (2 * la - 1,), dtype=jnp.int32)
+    out = out.at[..., : 2 * h - 1].add(z0)
+    out = out.at[..., h : h + 2 * h - 1].add(z1)
+    out = out.at[..., 2 * h : 2 * h + 2 * lo - 1].add(z2)
+    return out, _conv_bounds(ba, ba)
+
+
 def _fold(
     spec: FieldSpec, x: jax.Array, bounds: Bounds
 ) -> tuple[jax.Array, Bounds]:
@@ -382,7 +429,11 @@ def mul(spec: FieldSpec, a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def square(spec: FieldSpec, a: jax.Array) -> jax.Array:
-    return mul(spec, a, a)
+    """a^2 via the triangular convolution (~half the limb products of
+    mul(a, a)); hot in Fermat inversion / pow_const (254 squarings),
+    the poseidon sbox and zeta^n chains."""
+    t, bt = _conv_sqr(a, REP_BOUNDS)
+    return _rep(spec, t, bt)
 
 
 def mul_small(spec: FieldSpec, a: jax.Array, c: int) -> jax.Array:
@@ -424,7 +475,7 @@ def pow_const(spec: FieldSpec, x: jax.Array, e: int) -> jax.Array:
     )
 
     def body(acc, bit):
-        acc = mul(spec, acc, acc)
+        acc = square(spec, acc)
         acc = jnp.where(bit, mul(spec, acc, x), acc)
         return acc, None
 

@@ -130,6 +130,57 @@ def conv_r(a, ba: Bounds, b, bb: Bounds):
     return out, _conv_bounds(ba, bb)
 
 
+def _sqr_schoolbook_r(a, ba: Bounds):
+    """Triangular squaring conv in rows layout (see ffl._sqr_schoolbook);
+    scatter-free: shifted pad+adds plus an interleave for the diagonal."""
+    la = len(ba)
+    shape = a.shape[:-2]
+    B = a.shape[-1]
+    two_a = a * 2
+    out = jnp.zeros(shape + (2 * la - 1, B), dtype=jnp.int32)
+    for j in range(1, la):
+        out = _shift_add(out, a[..., :j, :] * two_a[..., j : j + 1, :], j)
+    sq = a * a
+    diag = jnp.stack([sq, jnp.zeros_like(sq)], axis=-2).reshape(
+        shape + (2 * la, B)
+    )[..., : 2 * la - 1, :]
+    return out + diag, _conv_bounds(ba, ba)
+
+
+def conv_sqr_r(a, ba: Bounds):
+    """conv(a, a) with ~half the products (rows twin of ffl._conv_sqr)."""
+    if not _karatsuba_safe(ba, ba):
+        return _sqr_schoolbook_r(a, ba)
+    from .ffl import _kara_halves
+
+    la = len(ba)
+    h, bd_a, _ = _kara_halves(ba, ba)
+    lo = la - h
+
+    def padh(x, l):
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, h - l), (0, 0)])
+
+    a0, a1 = a[..., :h, :], padh(a[..., h:, :], lo)
+    z0, _ = conv_sqr_r(a0, ba[:h])
+    z2, _ = conv_sqr_r(a[..., h:, :], ba[h:])
+    m, _ = _sqr_schoolbook_r(a0 - a1, bd_a)
+    z2p = jnp.pad(
+        z2, [(0, 0)] * (z2.ndim - 2) + [(0, (2 * h - 1) - (2 * lo - 1)), (0, 0)]
+    )
+    z1 = (z0 + z2p) - m
+    B = a.shape[-1]
+    out = jnp.zeros(a.shape[:-2] + (2 * la - 1, B), dtype=jnp.int32)
+    out = _shift_add(out, z0, 0)
+    out = _shift_add(out, z1, h)
+    out = _shift_add(out, z2, 2 * h)
+    return out, _conv_bounds(ba, ba)
+
+
+def square_r(spec: FieldSpec, a):
+    t, bt = conv_sqr_r(a, REP_BOUNDS)
+    return _reduce_r(spec, t, bt)
+
+
 def conv_const_r(a, ba: Bounds, cvec):
     """Convolve with a constant limb vector using scalar literals."""
     la, lc = len(ba), len(cvec)

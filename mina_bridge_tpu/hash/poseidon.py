@@ -51,10 +51,10 @@ def _device_tables(ps: PoseidonSpec):
 
 
 def _sbox(field: FieldSpec, x: jax.Array) -> jax.Array:
-    """x^7 = (x^3)^2 * x : 4 modular multiplications."""
-    x2 = ffl.mul(field, x, x)
+    """x^7 = (x^3)^2 * x : 2 squarings + 2 multiplications."""
+    x2 = ffl.square(field, x)
     x3 = ffl.mul(field, x2, x)
-    x6 = ffl.mul(field, x3, x3)
+    x6 = ffl.square(field, x3)
     return ffl.mul(field, x6, x)
 
 
@@ -66,14 +66,17 @@ def permute(ps: PoseidonSpec, state: jax.Array) -> jax.Array:
 
     def round_body(st, rc_r):
         st = _sbox(field, st)
-        # MDS: out[i] = sum_j mds[i][j] * st[j]
-        rows = []
-        for i in range(WIDTH):
-            acc = ffl.mul(field, mds[i, 0], st[..., 0, :])
-            for j in range(1, WIDTH):
-                acc = ffl.add(field, acc, ffl.mul(field, mds[i, j], st[..., j, :]))
-            rows.append(acc)
-        st = jnp.stack(rows, axis=-2)
+        # MDS: out[i] = sum_j mds[i][j] * st[j], as ONE broadcast
+        # multiply (..., 3, 3, L) + a 2-add tree over j — the naive 9
+        # muls + 6 adds formulation put 15 sequential field-op chains on
+        # the permutation's critical path per round, and the sponge IS
+        # the latency-bound part of the verify transcript.
+        prod = ffl.mul(field, mds, st[..., None, :, :])  # (..., 3, 3, L)
+        st = ffl.add(
+            field,
+            ffl.add(field, prod[..., 0, :], prod[..., 1, :]),
+            prod[..., 2, :],
+        )
         st = ffl.add(field, st, rc_r)
         return st, None
 

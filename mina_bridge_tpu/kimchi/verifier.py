@@ -254,7 +254,10 @@ def _const(spec, x: int) -> jax.Array:
 
 @jax.jit
 def verify(
-    index: DeviceVerifierIndex, proofs: DeviceProofs, rand_weights: jax.Array
+    index: DeviceVerifierIndex,
+    proofs: DeviceProofs,
+    rand_weights: jax.Array,
+    pub_comm_hint: jax.Array | None = None,
 ) -> jax.Array:
     """Verify B proofs; returns a single bool.
 
@@ -263,6 +266,15 @@ def verify(
     and derives v/u; the quotient identity is enforced THROUGH the one
     batched opening MSM via the ft linearization row (ft_eval0 = -S is
     computed here from the opened evals).
+
+    pub_comm_hint: optional UNTRUSTED (B, 2, NLIMBS) canonical affine
+    host hint for the blinded public commitment sum_i p_i L_i + H. When
+    given, the hint is absorbed instead of running the 260-step
+    on-device double-and-add (the longest sequential chain in the
+    graph), and the claim hint == sum_i p_i L_i + H is folded into the
+    same batched MSM under the independent verifier weight w^2 (sound
+    by Schwartz-Zippel: w is service randomness sampled after the proof
+    is fixed). host_public_commitments() computes correct hints.
     """
     curve = index.curve
     fs = curve.scalar
@@ -286,30 +298,35 @@ def verify(
     # (kimchi's blinded public commitment). Double-and-add is <1% of the
     # main MSM's work; one Fermat inversion normalizes to affine for the
     # sponge.
-    if npub:
-        lag_pts = jc.from_affine(
-            curve,
-            ffl.from_canon(index.lagrange_comm[:, 0]),
-            ffl.from_canon(index.lagrange_comm[:, 1]),
-        )  # (npub, 3, REP)
-        bits = (proofs.public[..., None] >> jnp.arange(13)) & 1
-        bits = bits.reshape(B, npub, -1)[..., ::-1]  # msb-first, 260 bits
-        pts = jnp.broadcast_to(lag_pts[None], (B,) + lag_pts.shape)
-        acc = jc.scalar_mul(curve, bits, pts)  # (B, npub, 3, REP)
-        pub_pt = acc[:, 0]
-        for i in range(1, npub):
-            pub_pt = jc.add(curve, pub_pt, acc[:, i])
+    if npub and pub_comm_hint is not None:
+        # untrusted host hint, bound via extra MSM rows (see below)
+        pub_x = pub_comm_hint[:, 0]
+        pub_y = pub_comm_hint[:, 1]
     else:
-        pub_pt = jc.identity(curve, (B,))
-    h_rep = jc.from_affine(
-        curve,
-        ffl.from_canon(index.h_affine[0]),
-        ffl.from_canon(index.h_affine[1]),
-    )
-    pub_pt = jc.add(curve, pub_pt, jnp.broadcast_to(h_rep, pub_pt.shape))
-    zinv = ffl.inv(curve.base, pub_pt[..., 2, :])
-    pub_x = ffl.canon(curve.base, ffl.mul(curve.base, pub_pt[..., 0, :], zinv))
-    pub_y = ffl.canon(curve.base, ffl.mul(curve.base, pub_pt[..., 1, :], zinv))
+        if npub:
+            lag_pts = jc.from_affine(
+                curve,
+                ffl.from_canon(index.lagrange_comm[:, 0]),
+                ffl.from_canon(index.lagrange_comm[:, 1]),
+            )  # (npub, 3, REP)
+            bits = (proofs.public[..., None] >> jnp.arange(13)) & 1
+            bits = bits.reshape(B, npub, -1)[..., ::-1]  # msb-first, 260 bits
+            pts = jnp.broadcast_to(lag_pts[None], (B,) + lag_pts.shape)
+            acc = jc.scalar_mul(curve, bits, pts)  # (B, npub, 3, REP)
+            pub_pt = acc[:, 0]
+            for i in range(1, npub):
+                pub_pt = jc.add(curve, pub_pt, acc[:, i])
+        else:
+            pub_pt = jc.identity(curve, (B,))
+        h_rep = jc.from_affine(
+            curve,
+            ffl.from_canon(index.h_affine[0]),
+            ffl.from_canon(index.h_affine[1]),
+        )
+        pub_pt = jc.add(curve, pub_pt, jnp.broadcast_to(h_rep, pub_pt.shape))
+        zinv = ffl.inv(curve.base, pub_pt[..., 2, :])
+        pub_x = ffl.canon(curve.base, ffl.mul(curve.base, pub_pt[..., 0, :], zinv))
+        pub_y = ffl.canon(curve.base, ffl.mul(curve.base, pub_pt[..., 1, :], zinv))
     ops += [("absorb", pub_x), ("absorb", pub_y)]
     for i in range(COLUMNS):
         ops += [
@@ -378,7 +395,7 @@ def verify(
     # zeta^n by repeated squaring (log_n squarings)
     zn = zeta
     for _ in range(index.log_n):
-        zn = mul(zn, zn)
+        zn = ffl.square(fs, zn)
     one = jnp.broadcast_to(ffl.ones(fs), zeta.shape).astype(jnp.int32)
     zh = sub(zn, one)  # Z_H(zeta)
 
@@ -386,14 +403,38 @@ def verify(
 
     # Lagrange evals L_i(x) = omega^i * Z_H(x) / (n * (x - omega^i)) at
     # both opening points; Z_H(zeta*omega) = Z_H(zeta) since omega^n = 1.
+    # ALL Lagrange denominators (public rows, L_0, L_{n-ZK_ROWS},
+    # L_{n-1}) invert in ONE merged Fermat chain: each ffl.inv is ~380
+    # sequential multiplies regardless of lane count, and separate
+    # chains were a measurable slice of the verify graph's critical
+    # path on the latency-bound transcript section.
     n_inv = jnp.asarray(index.n_inv_rep)
+    omega_zk = jnp.asarray(index.omega_zk_rep)  # (ZK_ROWS, L)
+    omega_last = jnp.asarray(index.omega_last_rep)[None]
+    zml = sub(zeta, jnp.broadcast_to(omega_last, zeta.shape).astype(jnp.int32))
+    extra_dens = jnp.stack(
+        [
+            sub(zeta, one),
+            sub(zeta, jnp.broadcast_to(omega_zk[ZK_ROWS - 1][None], zeta.shape).astype(jnp.int32)),
+            zml,
+        ]
+    )  # (3, B, L)
     pub_eval = ffl.zeros(fs, (B,))
     pub_eval_w = ffl.zeros(fs, (B,))
     if npub:
         omega_pows = jnp.asarray(index.omega_pows_rep)  # (npub, L)
         dens = sub(zeta[None], omega_pows[:, None])  # (npub, B, L)
         dens_w = sub(zeta_w[None], omega_pows[:, None])
-        dens_inv = ffl.inv(fs, jnp.concatenate([dens, dens_w], axis=0))
+        all_inv = ffl.inv(fs, jnp.concatenate([dens, dens_w, extra_dens], axis=0))
+        dens_inv = all_inv[: 2 * npub]
+    else:
+        all_inv = ffl.inv(fs, extra_dens)
+    inv_zm1, inv_zmzk, inv_zml = (
+        all_inv[-3],
+        all_inv[-2],
+        all_inv[-1],
+    )
+    if npub:
         for i in range(npub):
             pv = ffl.from_canon(proofs.public[:, i])
             li = mul(
@@ -449,7 +490,6 @@ def verify(
     num = tree_prod(num_f)
     d5 = tree_prod(den_f)  # prod over the 6 opened sigmas
     # zkpm(zeta) = prod_j (zeta - omega^(n-j)), j = 1..ZK_ROWS
-    omega_zk = jnp.asarray(index.omega_zk_rep)  # (ZK_ROWS, L)
     zkpm = sub(zeta, jnp.broadcast_to(omega_zk[0][None], zeta.shape).astype(jnp.int32))
     for j in range(1, ZK_ROWS):
         zkpm = mul(zkpm, sub(zeta, omega_zk[j][None]))
@@ -462,13 +502,11 @@ def verify(
         fs, mul(mul(mul(mul(alpha_pows[ALPHA_PERM], zkpm), beta), z_zw), d5)
     )
     # L_0(zeta)
-    l0 = mul(mul(ffl.inv(fs, sub(zeta, one)), zh), n_inv[None])
+    l0 = mul(mul(inv_zm1, zh), n_inv[None])
     p1 = mul(l0, sub(z_z, one))
     # L_{n-ZK_ROWS}(zeta) boundary: z(omega^(n-ZK_ROWS)) = 1
     w_zk = omega_zk[ZK_ROWS - 1][None]
-    lzk = mul(
-        mul(mul(ffl.inv(fs, sub(zeta, w_zk)), zh), w_zk), n_inv[None]
-    )
+    lzk = mul(mul(mul(inv_zmzk, zh), w_zk), n_inv[None])
     p3 = mul(lzk, sub(z_z, one))
 
     # lookup constraints at zeta (kimchi shape)
@@ -486,12 +524,8 @@ def verify(
         mul(one_pb4, F_z),
         add(gpb, add(tj_z, mul(beta, tj_zw))),
     )
-    omega_last = jnp.asarray(index.omega_last_rep)[None]
     # L_{n-1}(zeta) = omega^{n-1} * zh / (n (zeta - omega^{n-1}))
-    zml = sub(zeta, jnp.broadcast_to(omega_last, zeta.shape).astype(jnp.int32))
-    lnm1 = mul(
-        mul(mul(ffl.inv(fs, zml), zh), omega_last), n_inv[None]
-    )
+    lnm1 = mul(mul(mul(inv_zml, zh), omega_last), n_inv[None])
     lk_rec = mul(zml, sub(mul(zl_zw, A_lk), mul(zl_z, B_lk)))
     lk_0 = mul(l0, sub(zl_z, one))
     lk_last = mul(lnm1, sub(zl_z, one))
@@ -607,7 +641,7 @@ def verify(
             term = add(one_p, mul(ch[:, :, kk - 1 - i][:, :, None], xp))
             bval = mul(bval, term)
             if i + 1 < kk:
-                xp = mul(xp, xp)
+                xp = ffl.square(fs, xp)
         front = [ffl.canon(fs, bval)] + front
     evals_all = jnp.concatenate(front + [proofs.evals], axis=1)
 
@@ -631,6 +665,20 @@ def verify(
     virtual.append((tj_row, idx_all[tcol0 + 2], j2))
     virtual.append((tj_row, idx_all[tcol0 + 3], j_pows[3]))
 
+    # hint binding: w^2 * (sum_i p_i L_i + H - hint) folds into the MSM.
+    # w^2 is a monomial no other row's coefficient carries, so a nonzero
+    # hint defect survives the random combination w.h.p.
+    extra_pairs = []
+    if npub and pub_comm_hint is not None:
+        w_rep = ffl.from_canon(rand_weights[:, 0])
+        wsq = ffl.mul(fs, w_rep, w_rep)  # (B, L)
+        for i in range(npub):
+            extra_pairs.append(
+                (lag[i], ffl.mul(fs, wsq, ffl.from_canon(proofs.public[:, i])))
+            )
+        extra_pairs.append((jnp.asarray(index.h_affine), wsq))
+        extra_pairs.append((pub_comm_hint, ffl.neg(fs, wsq)))
+
     openings = ipa.DeviceOpenings(
         commitments=commitments,
         evals=evals_all,
@@ -653,4 +701,35 @@ def verify(
         v=v,
         u=u,
         virtual_rows=tuple(virtual),
+        extra_pairs=tuple(extra_pairs),
     )
+
+
+def host_public_commitments(
+    index: DeviceVerifierIndex, publics: "list[list[int]]"
+) -> jax.Array:
+    """(B, 2, NLIMBS) canonical affine hints sum_i p_i L_i + H for
+    verify(pub_comm_hint=...). Host big-int arithmetic (~ms); the device
+    re-binds the claim inside the batched MSM, so the hint is untrusted."""
+    import numpy as np
+
+    from ..curves import host as hc
+    from ..fields.params import limbs_to_int
+
+    curve = index.curve
+    lag = np.asarray(index.lagrange_comm)
+    h_aff = np.asarray(index.h_affine)
+    lag_pts = [
+        (limbs_to_int(lag[i, 0]), limbs_to_int(lag[i, 1]))
+        for i in range(lag.shape[0])
+    ]
+    h_pt = (limbs_to_int(h_aff[0]), limbs_to_int(h_aff[1]))
+    out = np.zeros((len(publics), 2, NLIMBS), np.int32)
+    for b, pubs in enumerate(publics):
+        acc = h_pt
+        for p_i, L_i in zip(pubs, lag_pts):
+            acc = hc.add(curve, acc, hc.mul(curve, int(p_i), L_i))
+        assert acc is not None, "public commitment is the identity"
+        out[b, 0] = int_to_limbs(acc[0], NLIMBS)
+        out[b, 1] = int_to_limbs(acc[1], NLIMBS)
+    return jnp.asarray(out)

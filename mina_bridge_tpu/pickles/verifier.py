@@ -67,7 +67,7 @@ import numpy as np
 from ..commitment import ipa
 from ..curves import PALLAS, VESTA
 from ..curves.srs import srs_points_host
-from ..fields.params import NLIMBS, int_to_limbs
+from ..fields.params import NLIMBS, int_to_limbs, limbs_to_int
 from ..kimchi import prover_host, verifier as kv
 from ..kimchi.circuit import COLUMNS, CircuitBuilder
 
@@ -354,7 +354,21 @@ def batch_verify_tips(
     plus the decider weight."""
     step_log_n = STEP_LOG_N if step_log_n is None else step_log_n
     _, _, dindex, _, _ = block_setup(log_n)
-    wrap_ok = kv.verify(dindex, dtips.wrap, rand_weights[:, :2])
+    # host-computed public-commitment hints skip the wrap verify's
+    # 260-step on-device double-and-add; bound inside the batched MSM
+    # (kv.verify docstring). Only possible when the publics are concrete
+    # (they are: batch_verify_tips is host glue, never jitted).
+    hint = None
+    if not isinstance(jnp.asarray(dtips.wrap.public), jax.core.Tracer):
+        pubs_np = np.asarray(dtips.wrap.public)  # (B, npub, NLIMBS)
+        publics = [
+            [limbs_to_int(pubs_np[b, i]) for i in range(pubs_np.shape[1])]
+            for b in range(pubs_np.shape[0])
+        ]
+        hint = kv.host_public_commitments(dindex, publics)
+    wrap_ok = kv.verify(
+        dindex, dtips.wrap, rand_weights[:, :2], pub_comm_hint=hint
+    )
     # deferred-values binding: the wrap public input's second element
     # must equal the digest of the step accumulator being decided
     digest = _device_deferred_digest(dtips.acc_chals, dtips.acc_sg)

@@ -82,3 +82,28 @@ def test_pow_inv(rng):
     assert ffl.to_ints(spec, jax.jit(ffl.inv, static_argnums=0)(spec, a)) == [
         host.finv(spec, x) for x in xs
     ]
+
+
+def test_square_matches_mul():
+    """The dedicated triangular squaring conv (ffl.square / rows.square_r)
+    is bit-identical to mul(a, a) across both layouts, including values
+    near p and small values."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mina_bridge_tpu.fields import ffl, rows
+    from mina_bridge_tpu.fields.params import FP
+
+    rng = random.Random(0xACE)
+    vals = [0, 1, 2, FP.p - 1, FP.p - 2] + [rng.randrange(FP.p) for _ in range(27)]
+    a = ffl.from_ints(FP, vals)
+    got = ffl.to_ints(FP, ffl.square(FP, a))
+    assert got == [v * v % FP.p for v in vals]
+
+    # rows layout (limbs-first): same inputs transposed
+    ar = jnp.moveaxis(a, -1, 0)  # (L, B)
+    got_r = rows.square_r(FP, ar)
+    got_r = ffl.to_ints(FP, jnp.moveaxis(got_r, 0, -1))
+    assert got_r == [v * v % FP.p for v in vals]

@@ -78,3 +78,34 @@ def test_device_reject_tampered(proven):
 
     bad4 = dataclasses.replace(dproofs, sg=dproofs.sg.at[1, 0, 0].add(1))
     assert not bool(verifier.verify(dindex, bad4, rand_weights(curve, 2)))
+
+
+def test_device_verify_with_public_hint(proven):
+    """The host-hinted public-commitment path: an honest hint verifies,
+    and a WRONG hint (a valid curve point that is not sum p_i L_i + H)
+    is rejected by the w^2 binding rows even though the transcript was
+    built around it — the hint is untrusted input."""
+    curve, circuit, index, g, h, host_proofs = proven
+    dindex = verifier.DeviceVerifierIndex.from_host(index, g, h)
+    dproofs = verifier.DeviceProofs.from_host(host_proofs)
+    hint = verifier.host_public_commitments(
+        dindex, [p.public for p in host_proofs]
+    )
+    rw = rand_weights(curve, len(host_proofs))
+    assert bool(verifier.verify(dindex, dproofs, rw, pub_comm_hint=hint))
+
+    # wrong hint: same shape, a real curve point (2*correct)
+    import numpy as np
+
+    from mina_bridge_tpu.curves import host as hc
+    from mina_bridge_tpu.fields.params import NLIMBS, int_to_limbs, limbs_to_int
+
+    hint_np = np.asarray(hint)
+    wrong = hint_np.copy()
+    pt = (limbs_to_int(hint_np[0, 0]), limbs_to_int(hint_np[0, 1]))
+    dbl = hc.add(curve, pt, pt)
+    wrong[0, 0] = int_to_limbs(dbl[0], NLIMBS)
+    wrong[0, 1] = int_to_limbs(dbl[1], NLIMBS)
+    assert not bool(
+        verifier.verify(dindex, dproofs, rw, pub_comm_hint=jnp.asarray(wrong))
+    )
