@@ -288,14 +288,17 @@ def _reduce_last(c, x):
 
 
 def msm_rows(
-    c: CurveSpec, scalars: jax.Array, points_rows: jax.Array, G: int = 2048
+    c: CurveSpec, scalars: jax.Array, points_rows: jax.Array, G: int = 256
 ) -> jax.Array:
     """MSM over rows-layout points (3, L, N); scalars (N, 20) canonical.
 
     G = lanes per segmented-scan chunk (tunable: scan work is G-invariant
-    but chunk count N/G is sequential depth; G=2048 measured best on the
-    attached TPU: 192K pts/s vs 186K @4096, 170K @1024). Returns a single projective
-    point in rows layout (3, L, 1).
+    but chunk count N/G is sequential depth). Re-swept on the attached
+    TPU after the matrix-fold kernel change (2^16, K pts/s):
+    G=2048: 672, 1024: 695, 512: 720, 256: 728 (best), 128: 706, 64: 631
+    — the optimum moved well below the round-1 G=2048 as the per-wave
+    kernels got cheaper. Returns a single projective point in rows
+    layout (3, L, 1).
     """
     N = scalars.shape[0]
     # Pad N up to a multiple of the chunk width G with (0, identity)
@@ -369,7 +372,7 @@ def msm_rows(
 
 
 def msm(
-    c: CurveSpec, scalars: jax.Array, points: jax.Array, G: int = 2048
+    c: CurveSpec, scalars: jax.Array, points: jax.Array, G: int = 256
 ) -> jax.Array:
     """Drop-in for ops.msm.msm: (N,3,L) points -> (3,L) REP point."""
     rows_pts = pk.to_rows(points)
