@@ -282,6 +282,138 @@ def linearization_ft(
     return ft_coeffs, ft_blind, perm_ft, t_scales
 
 
+def _inv_batch(p: int, vals: list[int]) -> list[int]:
+    """Batched modular inversion (native Montgomery-trick when available);
+    zeros map to zero, matching pow(0, p-2, p)."""
+    from .. import native
+
+    out = native.field_inv_batch(p, vals)
+    if out is not None:
+        return out
+    return [pow(v, p - 2, p) for v in vals]
+
+
+def _quotient_coeffs_py(
+    index,
+    circuit,
+    w_coeffs,
+    z_coeffs,
+    s_coeffs,
+    zl_coeffs,
+    tj_coeffs,
+    rt_coeffs,
+    pub_coeffs,
+    beta,
+    gamma,
+    alpha_pows,
+    j_pows,
+    gpb,
+    one_pb4,
+) -> list[int]:
+    """Per-row Python quotient evaluation — the bit-exactness oracle for
+    kimchi/prover_vec.quotient_coeffs (same math, big ints)."""
+    dom = circuit.domain
+    ps = dom.field.p
+    n = dom.n
+    ks = index.shifts
+    gctx = gate_ctx(dom.field)
+    ops = G.host_ops(ps)
+    dom8 = Domain(dom.field, dom.log_size + 3)
+    shift = 3
+    assert pow(shift, dom8.n, ps) != 1
+
+    def ext(coeffs):
+        return coset_fft(dom8, coeffs, shift)
+
+    w_ext = [ext(c) for c in w_coeffs]
+    # next-row access: w(omega * X) has coefficients c_i * omega^i
+    w_next_ext = [
+        ext([c * pow(dom.omega, i, ps) % ps for i, c in enumerate(cs)])
+        for cs in w_coeffs
+    ]
+    sig_ext = [ext(c) for c in index.sigma_coeffs]
+    coeff_ext = [ext(c) for c in index.coeff_coeffs]
+    sel_ext = {k: ext(c) for k, c in index.sel_coeffs.items()}
+    z_ext = ext(z_coeffs)
+    zw_ext = ext([c * pow(dom.omega, i, ps) % ps for i, c in enumerate(z_coeffs)])
+
+    def ext_shift(coeffs):
+        return ext([c * pow(dom.omega, i, ps) % ps for i, c in enumerate(coeffs)])
+
+    s_ext = [ext(c) for c in s_coeffs]
+    sw_ext = [ext_shift(c) for c in s_coeffs]
+    zl_ext, zlw_ext = ext(zl_coeffs), ext_shift(zl_coeffs)
+    tj_ext, tjw_ext = ext(tj_coeffs), ext_shift(tj_coeffs)
+    qlk_ext = ext(index.qlk_coeffs)
+    rt_ext = ext(rt_coeffs)
+    rtsel_ext = ext(index.table_coeffs[4])
+    lnm1_ext = ext(ifft(dom, [0] * (n - 1) + [1]))
+    lzk_ext = ext(
+        ifft(dom, [int(i == n - ZK_ROWS) for i in range(n)])
+    )  # L_{n-ZK_ROWS}
+    omega_last = pow(dom.omega, n - 1, ps)
+    omega_zk = [pow(dom.omega, n - j, ps) for j in range(1, ZK_ROWS + 1)]
+    pub_ext = ext(pub_coeffs)
+    l0_ext = ext(ifft(dom, [1] + [0] * (n - 1)))
+
+    n8 = dom8.n
+    xs = [1] * n8
+    for i in range(1, n8):
+        xs[i] = xs[i - 1] * dom8.omega % ps
+
+    t_evals = []
+    for i in range(n8):
+        xi = shift * xs[i] % ps
+        row = G.RowView(
+            w=[w_ext[c][i] for c in range(COLUMNS)],
+            w_next=[w_next_ext[c][i] for c in range(COLUMNS)],
+            c=[coeff_ext[c][i] for c in range(COEFFS)],
+        )
+        selectors = {g_: sel_ext[g_][i] for g_ in G.GATE_ORDER}
+        gate = G.all_gate_constraints(
+            ops, row, selectors, pub_ext[i], gctx, alpha_pows
+        )
+        num = den = 1
+        for j in range(PERMUTS):
+            num = num * (w_ext[j][i] + beta * ks[j] * xi + gamma) % ps
+            den = den * (w_ext[j][i] + beta * sig_ext[j][i] + gamma) % ps
+        zkpm_i = 1
+        for wz in omega_zk:
+            zkpm_i = zkpm_i * (xi - wz) % ps
+        p2 = (z_ext[i] * num - zw_ext[i] * den) * zkpm_i % ps
+        p1 = l0_ext[i] * (z_ext[i] - 1) % ps
+        p3 = lzk_ext[i] * (z_ext[i] - 1) % ps
+        # lookup constraints (kimchi shape)
+        F_i = G.lookup_f_product(ops, row, selectors, qlk_ext[i], j_pows, gamma)
+        A = 1
+        for q in range(NSORTED):
+            A = A * (gpb + s_ext[q][i] + beta * sw_ext[q][i]) % ps
+        Bv = one_pb4 * F_i % ps * (gpb + tj_ext[i] + beta * tjw_ext[i]) % ps
+        lk_rec = (xi - omega_last) * (zlw_ext[i] * A - zl_ext[i] * Bv) % ps
+        lk_0 = l0_ext[i] * (zl_ext[i] - 1) % ps
+        lk_last = lnm1_ext[i] * (zl_ext[i] - 1) % ps
+        combined = (
+            gate
+            + alpha_pows[ALPHA_PERM] * p2
+            + alpha_pows[ALPHA_PERM + 1] * p1
+            + alpha_pows[ALPHA_PERM + 2] * p3
+            + alpha_pows[ALPHA_LOOKUP] * lk_rec
+            + alpha_pows[ALPHA_LOOKUP + 1] * lk_0
+            + alpha_pows[ALPHA_LOOKUP + 2] * lk_last
+        )
+        for q in range(NSORTED - 1):
+            combined += alpha_pows[ALPHA_LOOKUP + 3 + q] * (
+                lnm1_ext[i] * (s_ext[q][i] - sw_ext[q + 1][i]) % ps
+            )
+        combined += alpha_pows[ALPHA_LOOKUP + 3 + NSORTED - 1] * (
+            (1 - rtsel_ext[i]) * rt_ext[i] % ps
+        )
+        combined %= ps
+        zh = (pow(xi, n, ps) - 1) % ps
+        t_evals.append(combined * pow(zh, ps - 2, ps) % ps)
+    return coset_ifft(dom8, t_evals, shift)
+
+
 def prove(
     index: VerifierIndexHost,
     circuit: Circuit,
@@ -411,13 +543,18 @@ def prove(
     pow_omega = [1] * n
     for i in range(1, n):
         pow_omega[i] = pow_omega[i - 1] * dom.omega % ps
-    z = [1]
+    z_nums, z_dens = [], []
     for i in range(n - ZK_ROWS):
         num = den = 1
         for j in range(PERMUTS):
             num = num * (witness[j][i] + beta * ks[j] * pow_omega[i] + gamma) % ps
             den = den * (witness[j][i] + beta * sig_evals[j][i] + gamma) % ps
-        z.append(z[-1] * num * pow(den, ps - 2, ps) % ps)
+        z_nums.append(num)
+        z_dens.append(den)
+    z_dinv = _inv_batch(ps, z_dens)
+    z = [1]
+    for i in range(n - ZK_ROWS):
+        z.append(z[-1] * z_nums[i] % ps * z_dinv[i] % ps)
     assert z[n - ZK_ROWS] == 1, "permutation argument does not close"
     z = z[: n - ZK_ROWS + 1] + [
         rng.randrange(ps) for _ in range(ZK_ROWS - 1)
@@ -432,7 +569,7 @@ def prove(
     # kimchi shape: LOOKUPS_PER_ROW query factors, NSORTED sorted factors)
     gpb = gamma * (1 + beta) % ps
     one_pb4 = pow(1 + beta, G.LOOKUPS_PER_ROW, ps)
-    zl = [1]
+    zl_nums, zl_dens = [], []
     for i in range(n - 1):
         num = one_pb4 * (gpb + t_vals[i] + beta * t_vals[i + 1]) % ps
         for f in f_rows[i]:
@@ -440,7 +577,12 @@ def prove(
         den = 1
         for q in range(NSORTED):
             den = den * (gpb + s_vals[q][i] + beta * s_vals[q][i + 1]) % ps
-        zl.append(zl[-1] * num % ps * pow(den, ps - 2, ps) % ps)
+        zl_nums.append(num)
+        zl_dens.append(den)
+    zl_dinv = _inv_batch(ps, zl_dens)
+    zl = [1]
+    for i in range(n - 1):
+        zl.append(zl[-1] * zl_nums[i] % ps * zl_dinv[i] % ps)
     assert zl[-1] == 1, "plookup aggregation does not close"
     zl_coeffs = ifft(dom, zl)
     zl_blind = rng.randrange(ps)
@@ -451,32 +593,9 @@ def prove(
     alpha = ipa.host_endo_chal(curve, sponge)
     alpha_pows = [pow(alpha, k, ps) for k in range(N_ALPHAS)]
 
-    # 3. quotient t on a coset of the 8n domain
-    dom8 = Domain(dom.field, dom.log_size + 3)
-    shift = 3
-    assert pow(shift, dom8.n, ps) != 1
-
-    def ext(coeffs):
-        return coset_fft(dom8, coeffs, shift)
-
-    w_ext = [ext(c) for c in w_coeffs]
-    # next-row access: w(omega * X) has coefficients c_i * omega^i
-    w_next_ext = [
-        ext([c * pow(dom.omega, i, ps) % ps for i, c in enumerate(cs)])
-        for cs in w_coeffs
-    ]
-    sig_ext = [ext(c) for c in index.sigma_coeffs]
-    coeff_ext = [ext(c) for c in index.coeff_coeffs]
-    sel_ext = {k: ext(c) for k, c in index.sel_coeffs.items()}
-    z_ext = ext(z_coeffs)
-    zw_ext = ext([c * pow(dom.omega, i, ps) % ps for i, c in enumerate(z_coeffs)])
-
-    def ext_shift(coeffs):
-        return ext([c * pow(dom.omega, i, ps) % ps for i, c in enumerate(coeffs)])
-
-    s_ext = [ext(c) for c in s_coeffs]
-    sw_ext = [ext_shift(c) for c in s_coeffs]
-    zl_ext, zlw_ext = ext(zl_coeffs), ext_shift(zl_coeffs)
+    # 3. quotient t on a coset of the 8n domain. Native vectorized path
+    # (kimchi/prover_vec.py) when available; the per-row Python loop
+    # (_quotient_coeffs_py) is the bit-exactness oracle.
     # joint table polynomial (coefficient-space j-combination)
     tj_coeffs = [
         (
@@ -488,76 +607,18 @@ def prove(
         % ps
         for d in range(n)
     ]
-    tj_ext, tjw_ext = ext(tj_coeffs), ext_shift(tj_coeffs)
-    qlk_coeffs = index.qlk_coeffs
-    qlk_ext = ext(qlk_coeffs)
-    rt_ext = ext(rt_coeffs)
-    rtsel_ext = ext(index.table_coeffs[4])
-    lnm1_ext = ext(ifft(dom, [0] * (n - 1) + [1]))
-    lzk_ext = ext(
-        ifft(dom, [int(i == n - ZK_ROWS) for i in range(n)])
-    )  # L_{n-ZK_ROWS}
-    omega_last = pow(dom.omega, n - 1, ps)
-    omega_zk = [pow(dom.omega, n - j, ps) for j in range(1, ZK_ROWS + 1)]
-    pub_ext = ext(pub_coeffs)
-    l0_ext = ext(ifft(dom, [1] + [0] * (n - 1)))
+    qargs = (
+        index, circuit, w_coeffs, z_coeffs, s_coeffs, zl_coeffs, tj_coeffs,
+        rt_coeffs, pub_coeffs, beta, gamma, alpha_pows, j_pows, gpb, one_pb4,
+    )
+    from .. import native
 
-    n8 = dom8.n
-    xs = [1] * n8
-    for i in range(1, n8):
-        xs[i] = xs[i - 1] * dom8.omega % ps
+    if native.vec_available():
+        from .prover_vec import quotient_coeffs
 
-    t_evals = []
-    for i in range(n8):
-        xi = shift * xs[i] % ps
-        row = G.RowView(
-            w=[w_ext[c][i] for c in range(COLUMNS)],
-            w_next=[w_next_ext[c][i] for c in range(COLUMNS)],
-            c=[coeff_ext[c][i] for c in range(COEFFS)],
-        )
-        selectors = {g_: sel_ext[g_][i] for g_ in G.GATE_ORDER}
-        gate = G.all_gate_constraints(
-            ops, row, selectors, pub_ext[i], gctx, alpha_pows
-        )
-        num = den = 1
-        for j in range(PERMUTS):
-            num = num * (w_ext[j][i] + beta * ks[j] * xi + gamma) % ps
-            den = den * (w_ext[j][i] + beta * sig_ext[j][i] + gamma) % ps
-        zkpm_i = 1
-        for wz in omega_zk:
-            zkpm_i = zkpm_i * (xi - wz) % ps
-        p2 = (z_ext[i] * num - zw_ext[i] * den) * zkpm_i % ps
-        p1 = l0_ext[i] * (z_ext[i] - 1) % ps
-        p3 = lzk_ext[i] * (z_ext[i] - 1) % ps
-        # lookup constraints (kimchi shape)
-        F_i = G.lookup_f_product(ops, row, selectors, qlk_ext[i], j_pows, gamma)
-        A = 1
-        for q in range(NSORTED):
-            A = A * (gpb + s_ext[q][i] + beta * sw_ext[q][i]) % ps
-        Bv = one_pb4 * F_i % ps * (gpb + tj_ext[i] + beta * tjw_ext[i]) % ps
-        lk_rec = (xi - omega_last) * (zlw_ext[i] * A - zl_ext[i] * Bv) % ps
-        lk_0 = l0_ext[i] * (zl_ext[i] - 1) % ps
-        lk_last = lnm1_ext[i] * (zl_ext[i] - 1) % ps
-        combined = (
-            gate
-            + alpha_pows[ALPHA_PERM] * p2
-            + alpha_pows[ALPHA_PERM + 1] * p1
-            + alpha_pows[ALPHA_PERM + 2] * p3
-            + alpha_pows[ALPHA_LOOKUP] * lk_rec
-            + alpha_pows[ALPHA_LOOKUP + 1] * lk_0
-            + alpha_pows[ALPHA_LOOKUP + 2] * lk_last
-        )
-        for q in range(NSORTED - 1):
-            combined += alpha_pows[ALPHA_LOOKUP + 3 + q] * (
-                lnm1_ext[i] * (s_ext[q][i] - sw_ext[q + 1][i]) % ps
-            )
-        combined += alpha_pows[ALPHA_LOOKUP + 3 + NSORTED - 1] * (
-            (1 - rtsel_ext[i]) * rt_ext[i] % ps
-        )
-        combined %= ps
-        zh = (pow(xi, n, ps) - 1) % ps
-        t_evals.append(combined * pow(zh, ps - 2, ps) % ps)
-    t_coeffs = coset_ifft(dom8, t_evals, shift)
+        t_coeffs = quotient_coeffs(*qargs)
+    else:
+        t_coeffs = _quotient_coeffs_py(*qargs)
     assert all(c == 0 for c in t_coeffs[T_CHUNKS * n :]), "t degree overflow"
     t_chunks = [t_coeffs[i * n : (i + 1) * n] for i in range(T_CHUNKS)]
     t_blinds = [rng.randrange(ps) for _ in range(T_CHUNKS)]

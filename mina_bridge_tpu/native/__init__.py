@@ -286,6 +286,153 @@ def field_inv_batch(p: int, vals: list[int]) -> "list[int] | None":
     return _ints(out, len(vals))
 
 
+# ---------------------------------------------------------------------------
+# Montgomery-domain vector ops over numpy (n, 4) uint64 word arrays —
+# the vectorized-prover hot path (kimchi/prover_vec.py). Zero-copy via
+# ndarray.ctypes; values stay in Montgomery form between calls.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+
+def _vec_bind(lib) -> None:
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    n = ctypes.c_uint64
+    lib.mbtpu_vadd.argtypes = [u64p, u64p, u64p, n, u64p]
+    lib.mbtpu_vsub.argtypes = [u64p, u64p, u64p, n, u64p]
+    lib.mbtpu_vadd_s.argtypes = [u64p, u64p, u64p, n, u64p]
+    lib.mbtpu_vsub_s.argtypes = [u64p, u64p, u64p, n, u64p]
+    lib.mbtpu_vsub_rs.argtypes = [u64p, u64p, u64p, n, u64p]
+    lib.mbtpu_vmulm.argtypes = [u64p, u64p, u64p, n, u64p]
+    lib.mbtpu_vmulm_s.argtypes = [u64p, u64p, u64p, n, u64p]
+    lib.mbtpu_vto_mont.argtypes = [u64p, u64p, n, u64p]
+    lib.mbtpu_vfrom_mont.argtypes = [u64p, u64p, n, u64p]
+    lib.mbtpu_vinvm.argtypes = [u64p, u64p, n, u64p]
+    lib.mbtpu_nttm.argtypes = [u64p, u64p, n, u64p]
+    lib.mbtpu_scale_geom_m.argtypes = [u64p, u64p, n, u64p, u64p]
+
+
+def _vec_lib():
+    lib = _pasta_lib()
+    if lib is None:
+        return None
+    if not getattr(lib, "_vec_bound", False):
+        try:
+            _vec_bind(lib)
+        except AttributeError:
+            return None
+        lib._vec_bound = True
+    return lib
+
+
+def vec_available() -> bool:
+    return _vec_lib() is not None
+
+
+def _np64(a: "_np.ndarray"):
+    assert a.dtype == _np.uint64 and a.flags["C_CONTIGUOUS"]
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def ints_to_words(vals, p: int) -> "_np.ndarray":
+    """list[int] -> (n, 4) uint64 canonical little-endian words."""
+    buf = b"".join((v % p).to_bytes(32, "little") for v in vals)
+    return _np.frombuffer(buf, dtype="<u8").reshape(-1, 4).copy()
+
+
+def words_to_ints(arr: "_np.ndarray") -> list[int]:
+    b = _np.ascontiguousarray(arr, dtype="<u8").tobytes()
+    return [
+        int.from_bytes(b[32 * i : 32 * (i + 1)], "little")
+        for i in range(arr.shape[0])
+    ]
+
+
+def _scalar_words(v: int, p: int) -> "_np.ndarray":
+    return ints_to_words([v % p], p).reshape(4)
+
+
+def _vbinary(name, p, a, b):
+    lib = _vec_lib()
+    out = _np.empty_like(a)
+    getattr(lib, name)(_ctx(p), _np64(a), _np64(b), a.shape[0], _np64(out))
+    return out
+
+
+def vadd(p, a, b):
+    return _vbinary("mbtpu_vadd", p, a, b)
+
+
+def vsub(p, a, b):
+    return _vbinary("mbtpu_vsub", p, a, b)
+
+
+def vmulm(p, a, b):
+    return _vbinary("mbtpu_vmulm", p, a, b)
+
+
+def _vscalar(name, p, a, s):
+    lib = _vec_lib()
+    out = _np.empty_like(a)
+    getattr(lib, name)(_ctx(p), _np64(a), _np64(s), a.shape[0], _np64(out))
+    return out
+
+
+def vadd_s(p, a, s):
+    return _vscalar("mbtpu_vadd_s", p, a, s)
+
+
+def vsub_s(p, a, s):
+    return _vscalar("mbtpu_vsub_s", p, a, s)
+
+
+def vsub_rs(p, a, s):
+    """s - a."""
+    return _vscalar("mbtpu_vsub_rs", p, a, s)
+
+
+def vmulm_s(p, a, s):
+    return _vscalar("mbtpu_vmulm_s", p, a, s)
+
+
+def vto_mont(p, a):
+    lib = _vec_lib()
+    out = _np.empty_like(a)
+    lib.mbtpu_vto_mont(_ctx(p), _np64(a), a.shape[0], _np64(out))
+    return out
+
+
+def vfrom_mont(p, a):
+    lib = _vec_lib()
+    out = _np.empty_like(a)
+    lib.mbtpu_vfrom_mont(_ctx(p), _np64(a), a.shape[0], _np64(out))
+    return out
+
+
+def vinvm(p, a):
+    lib = _vec_lib()
+    out = _np.empty_like(a)
+    lib.mbtpu_vinvm(_ctx(p), _np64(a), a.shape[0], _np64(out))
+    return out
+
+
+def vnttm(p, data, root: int):
+    """In-place NTT over Montgomery-form (n, 4) data."""
+    lib = _vec_lib()
+    lib.mbtpu_nttm(_ctx(p), _np64(data), data.shape[0], _np64(_scalar_words(root, p)))
+    return data
+
+
+def vscale_geom_m(p, data, s0: int, ratio: int):
+    """In-place data[i] *= s0 * ratio^i (s0/ratio canonical ints)."""
+    lib = _vec_lib()
+    lib.mbtpu_scale_geom_m(
+        _ctx(p), _np64(data), data.shape[0],
+        _np64(_scalar_words(s0, p)), _np64(_scalar_words(ratio, p)),
+    )
+    return data
+
+
 def msm(base_p: int, points: list, scalars: list[int]):
     """MSM over affine (x, y) int pairs; identity inputs must be filtered
     by the caller. Returns (x, y) or None (identity), or the string

@@ -465,6 +465,153 @@ void mbtpu_poly_eval(const u64* ctx_words, const u64* coeffs, u64 n,
   }
 }
 
+// ---- Montgomery-domain vector ops (vectorized prover hot path) ----
+// All arrays are n*4 little-endian words. Unless noted, values are in
+// MONTGOMERY form (xR mod p); add/sub are domain-agnostic. Scalars `s`
+// are a single 4-word Montgomery value. kimchi/prover_vec.py drives
+// these over the 8n quotient coset; the Python per-row loop in
+// kimchi/prover_host.py remains the bit-exactness oracle.
+
+void mbtpu_vadd(const u64* ctx_words, const u64* a, const u64* b, u64 n,
+                u64* out) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  for (u64 i = 0; i < n; ++i) fadd(c, a + 4 * i, b + 4 * i, out + 4 * i);
+}
+
+void mbtpu_vsub(const u64* ctx_words, const u64* a, const u64* b, u64 n,
+                u64* out) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  for (u64 i = 0; i < n; ++i) fsub(c, a + 4 * i, b + 4 * i, out + 4 * i);
+}
+
+void mbtpu_vadd_s(const u64* ctx_words, const u64* a, const u64* s, u64 n,
+                  u64* out) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  for (u64 i = 0; i < n; ++i) fadd(c, a + 4 * i, s, out + 4 * i);
+}
+
+void mbtpu_vsub_s(const u64* ctx_words, const u64* a, const u64* s, u64 n,
+                  u64* out) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  for (u64 i = 0; i < n; ++i) fsub(c, a + 4 * i, s, out + 4 * i);
+}
+
+// out = s - a  (scalar minus vector)
+void mbtpu_vsub_rs(const u64* ctx_words, const u64* a, const u64* s, u64 n,
+                   u64* out) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  for (u64 i = 0; i < n; ++i) fsub(c, s, a + 4 * i, out + 4 * i);
+}
+
+void mbtpu_vmulm(const u64* ctx_words, const u64* a, const u64* b, u64 n,
+                 u64* out) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  for (u64 i = 0; i < n; ++i) mont_mul(c, a + 4 * i, b + 4 * i, out + 4 * i);
+}
+
+void mbtpu_vmulm_s(const u64* ctx_words, const u64* a, const u64* s, u64 n,
+                   u64* out) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  for (u64 i = 0; i < n; ++i) mont_mul(c, a + 4 * i, s, out + 4 * i);
+}
+
+void mbtpu_vto_mont(const u64* ctx_words, const u64* a, u64 n, u64* out) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  for (u64 i = 0; i < n; ++i) to_mont(c, a + 4 * i, out + 4 * i);
+}
+
+void mbtpu_vfrom_mont(const u64* ctx_words, const u64* a, u64 n, u64* out) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  for (u64 i = 0; i < n; ++i) from_mont(c, a + 4 * i, out + 4 * i);
+}
+
+// batch inversion in the Montgomery domain (zeros map to zero)
+void mbtpu_vinvm(const u64* ctx_words, const u64* a, u64 n, u64* out) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  std::vector<u64> prefix(4 * n);
+  u64 acc[4];
+  mont_one(c, acc);
+  for (u64 i = 0; i < n; ++i) {
+    memcpy(&prefix[4 * i], acc, 32);
+    if (!is_zero4(a + 4 * i)) mont_mul(c, acc, a + 4 * i, acc);
+  }
+  u64 inv[4];
+  mont_inv(c, acc, inv);
+  for (u64 i = n; i-- > 0;) {
+    if (is_zero4(a + 4 * i)) {
+      memset(out + 4 * i, 0, 32);
+      continue;
+    }
+    u64 r[4];
+    mont_mul(c, inv, &prefix[4 * i], r);
+    mont_mul(c, inv, a + 4 * i, inv);
+    memcpy(out + 4 * i, r, 32);
+  }
+}
+
+// in-place NTT over Montgomery-form data; root is CANONICAL
+void mbtpu_nttm(const u64* ctx_words, u64* data, u64 n, const u64* root) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  u64* a = data;
+  u64 j = 0;
+  for (u64 i = 1; i < n; ++i) {
+    u64 bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j |= bit;
+    if (i < j) {
+      u64 tmp[4];
+      memcpy(tmp, &a[4 * i], 32);
+      memcpy(&a[4 * i], &a[4 * j], 32);
+      memcpy(&a[4 * j], tmp, 32);
+    }
+  }
+  u64 rootm[4];
+  to_mont(c, root, rootm);
+  for (u64 length = 2; length <= n; length <<= 1) {
+    u64 wl[4];
+    memcpy(wl, rootm, 32);
+    for (u64 m = n / length; m > 1; m >>= 1) mont_sqr(c, wl, wl);
+    for (u64 start = 0; start < n; start += length) {
+      u64 w[4];
+      mont_one(c, w);
+      u64 half = length >> 1;
+      for (u64 i = start; i < start + half; ++i) {
+        u64 u[4], v[4];
+        memcpy(u, &a[4 * i], 32);
+        mont_mul(c, &a[4 * (i + half)], w, v);
+        fadd(c, u, v, &a[4 * i]);
+        fsub(c, u, v, &a[4 * (i + half)]);
+        mont_mul(c, w, wl, w);
+      }
+    }
+  }
+}
+
+// in-place data[i] *= s0 * ratio^i over Montgomery data; s0/ratio CANONICAL
+void mbtpu_scale_geom_m(const u64* ctx_words, u64* data, u64 n, const u64* s0,
+                        const u64* ratio) {
+  Ctx c;
+  memcpy(&c, ctx_words, sizeof(Ctx));
+  u64 sc[4], rm[4];
+  to_mont(c, s0, sc);
+  to_mont(c, ratio, rm);
+  for (u64 i = 0; i < n; ++i) {
+    mont_mul(c, data + 4 * i, sc, data + 4 * i);
+    mont_mul(c, sc, rm, sc);
+  }
+}
+
 // ---- Pippenger MSM over an a=0 short-Weierstrass curve ----
 // points: n * (x, y) canonical affine (the identity is not representable
 // affine; callers never pass it). scalars: n * 4 words canonical.
