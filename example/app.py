@@ -21,15 +21,15 @@ def validate_solution(sdk, sudoku_contract, zkapp_public_key: str) -> None:
     from mina_bridge_tpu.bridge import mina_types as mt
     from mina_bridge_tpu.bridge import proof_model as pm
     from mina_bridge_tpu.pickles import verifier as pickles
-    from mina_bridge_tpu.cli import _rand_weights
 
-    # 1. bridge the candidate chain (skips when already verified)
+    # 1. bridge the candidate chain (skips when already verified);
+    # verifier randomness is the service's own (OS entropy)
     tip_hash = sdk.get_bridged_chain_tip_state_hash()
     tip_state = sdk.mina.query_state(hex(tip_hash))
     states, _ = sdk.mina.query_candidate_chain()
     cand_tip_hash = pm.host_full_state_hash(mt.decode_protocol_state_any(states[-1]))
     tip_proof = pickles.prove_tip(cand_tip_hash)
-    sdk.update_bridge_chain(tip_state, tip_proof, _rand_weights(1))
+    sdk.update_bridge_chain(tip_state, tip_proof)
 
     # 2. validate the zkApp account on the bridged tip
     data = sdk.validate_account(zkapp_public_key, hex(cand_tip_hash))

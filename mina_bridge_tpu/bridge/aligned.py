@@ -124,7 +124,7 @@ class TpuVerifierService:
         pubs: list[pm.MinaStatePubInputs],
         proofs: list[pm.MinaStateProof],
         tip_proofs_host: list,
-        rand_weights,
+        rand_weights=None,
     ) -> list["vs.StateVerificationResult"]:
         """Batched Proof-of-State submission — THE serving path: all 17*B
         protocol-state hashes run as one device Poseidon batch and all B
@@ -132,10 +132,16 @@ class TpuVerifierService:
         verifier_service._tip_verdicts). Proofs that verify join the
         pending batch; per-proof results are returned so one bad
         submission never blocks the rest (reference bar: Aligned operator
-        batch verification, README.md:213-215)."""
+        batch verification, README.md:213-215).
+
+        rand_weights is a TEST SEAM: production callers leave it None and
+        the service samples OS entropy itself, after the proofs are in
+        hand (the RLC/hint-binding soundness precondition, PARITY D11)."""
         from ..pickles import verifier as pickles
 
         dtips = pickles.device_proofs(tip_proofs_host)
+        if rand_weights is None:
+            rand_weights = vs.system_rand_weights(len(pubs))
         results = vs.verify_states_batch(
             pubs, proofs, self.block_log_n, dtips, rand_weights
         )
@@ -178,7 +184,7 @@ class TpuVerifierService:
         pub: pm.MinaStatePubInputs,
         proof: pm.MinaStateProof,
         tip_proof_host,
-        rand_weights,
+        rand_weights=None,
     ) -> None:
         """Single-proof submission: a batch of one on the batched path."""
         [result] = self.submit_states([pub], [proof], [tip_proof_host], rand_weights)

@@ -47,6 +47,33 @@ def _to_limbs_arr(vals: list[int]) -> jnp.ndarray:
     return jnp.asarray(np.stack([int_to_limbs(v, NLIMBS) for v in vals]))
 
 
+def system_rand_weights(batch: int) -> jnp.ndarray:
+    """(B, 3, NLIMBS) verifier randomness from OS entropy.
+
+    The batch-RLC and hint-binding soundness arguments (PARITY D11)
+    assume weights unpredictable to the prover and sampled AFTER the
+    proofs are fixed, so the serving path (TpuVerifierService) calls
+    this itself on receipt of a batch; explicit rand_weights parameters
+    exist only as test seams. Components 0-1 weight the wrap-side
+    (Pallas-scalar) opening combine; component 2 is the Vesta-scalar
+    step-accumulator decider weight."""
+    import secrets
+
+    from ..curves import PALLAS, VESTA
+
+    rng = secrets.SystemRandom()
+    mods = (PALLAS.scalar.p, PALLAS.scalar.p, VESTA.scalar.p)
+    return jnp.asarray(
+        np.array(
+            [
+                [int_to_limbs(rng.randrange(m), NLIMBS) for m in mods]
+                for _ in range(batch)
+            ],
+            np.int32,
+        )
+    )
+
+
 @dataclasses.dataclass
 class StateVerificationResult:
     ok: bool
@@ -60,64 +87,13 @@ def verify_proof_of_state(
     tip_proof_device: "pickles.DeviceTips",
     rand_weights,
 ) -> StateVerificationResult:
-    n = pm.BRIDGE_TRANSITION_FRONTIER_LEN
-    if len(proof.candidate_chain_states) != n:
-        return StateVerificationResult(False, "wrong chain length")
-
-    states = [mt.decode_protocol_state_any(b) for b in proof.candidate_chain_states]
-    tip_state = mt.decode_protocol_state_any(proof.bridge_tip_state)
-
-    # -- 1a. batched body hashes + state hashes on device --
-    all_states = states + [tip_state]
-    body_fields = [pm.state_body_fields(s) for s in all_states]
-    flen = len(body_fields[0])
-    if any(len(f) != flen for f in body_fields):
-        return StateVerificationResult(False, "inconsistent body field count")
-    bf = jnp.asarray(
-        np.stack(
-            [np.stack([int_to_limbs(v, NLIMBS) for v in f]) for f in body_fields]
-        )
-    )  # (17, flen, NLIMBS)
-    body_hashes = device_hash_with_prefix(PREFIX_PROTO_STATE_BODY, bf)
-    prev_hashes = _to_limbs_arr([s["previous_state_hash"] for s in all_states])
-    state_hashes_dev = device_state_hashes(prev_hashes, body_hashes)
-    state_hashes = [limbs_to_int(np.asarray(h)) for h in state_hashes_dev]
-    cand_hashes, bridge_tip_hash = state_hashes[:n], state_hashes[n]
-
-    # -- 1b. pub input consistency --
-    if cand_hashes != pub.candidate_chain_state_hashes:
-        return StateVerificationResult(False, "state hash mismatch")
-    ledgers = [
-        s["body"]["blockchain_state"]["snarked_ledger_hash"] for s in states
-    ]
-    if ledgers != pub.candidate_chain_ledger_hashes:
-        return StateVerificationResult(False, "ledger hash mismatch")
-    if bridge_tip_hash != pub.bridge_tip_state_hash:
-        return StateVerificationResult(False, "bridge tip hash mismatch")
-
-    # -- 1c. chain linkage: state i+1 links to state i --
-    for i in range(n - 1):
-        if states[i + 1]["previous_state_hash"] != cand_hashes[i]:
-            return StateVerificationResult(False, f"chain broken at {i}")
-
-    # -- 2. consensus: candidate tip must beat the bridged tip --
-    cand_cs = pm.consensus_from_state(states[-1], cand_hashes[-1])
-    tip_cs = pm.consensus_from_state(tip_state, bridge_tip_hash)
-    if not candidate_wins(tip_cs, cand_cs):
-        return StateVerificationResult(False, "consensus: candidate not better")
-
-    # -- 3. tip proof (Pickles step/wrap + accumulator decider) --
-    pub_dev = np.asarray(tip_proof_device.wrap.public)
-    claimed = limbs_to_int(pub_dev[0, 0])
-    if claimed != cand_hashes[-1]:  # Fp embeds exactly in Fq (q > p)
-        return StateVerificationResult(False, "tip proof binds wrong hash")
-    tip_proof_device, rand_weights = _pad_batch(tip_proof_device, rand_weights)
-    ok = pickles.batch_verify_tips(
-        tip_proof_device, rand_weights, log_n=block_log_n
+    """Single-proof Proof-of-State: a batch of one on the batched path
+    (verify_states_batch), so the pub-input / linkage / consensus / tip
+    checks exist exactly once."""
+    [result] = verify_states_batch(
+        [pub], [proof], block_log_n, tip_proof_device, rand_weights
     )
-    if not bool(ok):
-        return StateVerificationResult(False, "tip proof invalid")
-    return StateVerificationResult(True)
+    return result
 
 
 def _pad_batch(proofs, rw, min_batch: int = 2):
@@ -304,14 +280,40 @@ def _verify_states_batch(
             results[b] = StateVerificationResult(False, "wrong chain length")
             decoded.append(None)
             continue
-        decoded.append(
-            (
-                [mt.decode_protocol_state_any(s) for s in proof.candidate_chain_states],
-                mt.decode_protocol_state_any(proof.bridge_tip_state),
+        try:
+            decoded.append(
+                (
+                    [
+                        mt.decode_protocol_state_any(s)
+                        for s in proof.candidate_chain_states
+                    ],
+                    mt.decode_protocol_state_any(proof.bridge_tip_state),
+                )
             )
-        )
+        except Exception as e:  # a malformed blob fails alone, not the batch
+            results[b] = StateVerificationResult(False, f"undecodable state: {e}")
+            decoded.append(None)
 
-    # batched hashing over every state of every proof
+    # batched hashing over every state of every proof. A proof whose
+    # decoded states disagree on body field count cannot be stacked into
+    # the batch array — fail it alone (against the MODAL count, so one
+    # malformed proof never fails the others), never the whole batch.
+    from collections import Counter
+
+    per_proof_flens = {
+        b: [len(pm.state_body_fields(s)) for s in dec[0] + [dec[1]]]
+        for b, dec in enumerate(decoded)
+        if dec is not None
+    }
+    counts = Counter(fl for fls in per_proof_flens.values() for fl in fls)
+    if counts:
+        flen = counts.most_common(1)[0][0]
+        for b, fls in per_proof_flens.items():
+            if any(fl != flen for fl in fls):
+                results[b] = StateVerificationResult(
+                    False, "inconsistent body field count"
+                )
+                decoded[b] = None
     all_fields, owners = [], []
     for b, dec in enumerate(decoded):
         if dec is None:

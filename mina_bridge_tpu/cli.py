@@ -82,8 +82,7 @@ def main(argv=None) -> int:
                 mt.decode_protocol_state_any(states[-1])
             )
             tip_proof = pickles.prove_tip(cand_tip_hash)
-            rw = _rand_weights(1)
-            updated = sdk.update_bridge_chain(tip_state, tip_proof, rw)
+            updated = sdk.update_bridge_chain(tip_state, tip_proof)
             log.info("chain %s", "updated" if updated else "already verified")
         elif args.command == "submit-account":
             data = sdk.validate_account(args.public_key, args.state_hash)
@@ -98,32 +97,6 @@ def main(argv=None) -> int:
     finally:
         log.info("Time spent: %ds", int(time.time() - start))
     return 0
-
-
-def _rand_weights(batch: int):
-    import random
-
-    import jax.numpy as jnp
-    import numpy as np
-
-    from .curves import PALLAS
-    from .fields.params import NLIMBS, int_to_limbs
-
-    rng = random.Random()
-    # (B, 3, NLIMBS): (w, rho) for the wrap opening combine + the
-    # step-accumulator decider weight (pickles.batch_verify_tips)
-    return jnp.asarray(
-        np.array(
-            [
-                [
-                    int_to_limbs(rng.randrange(PALLAS.scalar.p), NLIMBS)
-                    for _ in range(3)
-                ]
-                for _ in range(batch)
-            ],
-            dtype=np.int32,
-        )
-    )
 
 
 if __name__ == "__main__":

@@ -72,11 +72,9 @@ def permute(ps: PoseidonSpec, state: jax.Array) -> jax.Array:
         # the permutation's critical path per round, and the sponge IS
         # the latency-bound part of the verify transcript.
         prod = ffl.mul(field, mds, st[..., None, :, :])  # (..., 3, 3, L)
-        st = ffl.add(
-            field,
-            ffl.add(field, prod[..., 0, :], prod[..., 1, :]),
-            prod[..., 2, :],
-        )
+        st = prod[..., 0, :]
+        for j in range(1, WIDTH):  # 2-deep add tree at WIDTH=3
+            st = ffl.add(field, st, prod[..., j, :])
         st = ffl.add(field, st, rc_r)
         return st, None
 

@@ -298,8 +298,31 @@ def verify(
     # (kimchi's blinded public commitment). Double-and-add is <1% of the
     # main MSM's work; one Fermat inversion normalizes to affine for the
     # sponge.
+    hint_wf = jnp.asarray(True)
     if npub and pub_comm_hint is not None:
-        # untrusted host hint, bound via extra MSM rows (see below)
+        # untrusted host hint, bound via extra MSM rows (see below).
+        # The w^2 binding argument only covers VALUE-level wrongness of a
+        # well-formed point: out-of-range limbs break ffl's int32 bound
+        # invariants and off-curve points make the point formulas
+        # non-group, so well-formedness is checked here and folded into
+        # the verdict: canonical 13-bit limbs (canon round-trip detects
+        # values >= p) and y^2 == x^3 + b over the base field.
+        fb = curve.base
+        limb_ok = jnp.all((pub_comm_hint >= 0) & (pub_comm_hint < (1 << 13)))
+        xr = ffl.from_canon(pub_comm_hint[:, 0])
+        yr = ffl.from_canon(pub_comm_hint[:, 1])
+        canon_ok = jnp.all(
+            jnp.stack([ffl.canon(fb, xr), ffl.canon(fb, yr)], axis=1)
+            == pub_comm_hint
+        )
+        lhs = ffl.canon(fb, ffl.square(fb, yr))
+        x3b = ffl.add(
+            fb,
+            ffl.mul(fb, ffl.square(fb, xr), xr),
+            jnp.broadcast_to(_const(fb, curve.b), xr.shape).astype(jnp.int32),
+        )
+        curve_ok = jnp.all(lhs == ffl.canon(fb, x3b))
+        hint_wf = limb_ok & canon_ok & curve_ok
         pub_x = pub_comm_hint[:, 0]
         pub_y = pub_comm_hint[:, 1]
     else:
@@ -691,7 +714,7 @@ def verify(
         u_sel=proofs.u_sel,
         u_hint=proofs.u_hint,
     )
-    return ipa.batch_verify(
+    ok = ipa.batch_verify(
         curve,
         jnp.asarray(index.g_affine),
         jnp.asarray(index.h_affine),
@@ -703,6 +726,7 @@ def verify(
         virtual_rows=tuple(virtual),
         extra_pairs=tuple(extra_pairs),
     )
+    return jnp.logical_and(ok, hint_wf)
 
 
 def host_public_commitments(

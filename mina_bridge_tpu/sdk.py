@@ -57,14 +57,16 @@ class BridgeSdk:
 
     # --- update_bridge_chain (sdk.rs:81-131) ---
     def update_bridge_chain(
-        self, bridge_tip_state: bytes, tip_proof_host, rand_weights
+        self, bridge_tip_state: bytes, tip_proof_host
     ) -> bool:
-        """Returns False when the candidate tip is already bridged."""
+        """Returns False when the candidate tip is already bridged.
+        Verifier randomness is the service's own (OS entropy, sampled
+        after proof receipt) — never caller-supplied on this path."""
         pub, proof = mg.get_mina_proof_of_state(self.mina, bridge_tip_state)
         if self.is_state_verified(pub.candidate_chain_state_hashes[-1]):
             log.info("Latest chain is already verified")
             return False
-        self.service.submit_state(pub, proof, tip_proof_host, rand_weights)
+        self.service.submit_state(pub, proof, tip_proof_host)
         (vd,) = self.service.finalize_batch()
         self.state_contract.update_chain(
             vd.proof_commitment,

@@ -114,6 +114,45 @@ def test_service_batch_submission(state_pair):
     assert data[0].index_in_batch == 0
 
 
+def test_service_samples_own_randomness(state_pair, monkeypatch):
+    """Production path (no rand_weights argument): the service must
+    sample its own verifier randomness via system_rand_weights (OS
+    entropy), after the proofs are in hand — the PARITY D11 soundness
+    precondition. Callers supplying weights is a test-only seam."""
+    from mina_bridge_tpu.pickles import verifier as pickles
+
+    (pub_a, proof_a, tip_a), _ = state_pair
+    calls = []
+    real = vs.system_rand_weights
+
+    def spy(batch):
+        calls.append(batch)
+        return real(batch)
+
+    monkeypatch.setattr(vs, "system_rand_weights", spy)
+    service = al.TpuVerifierService(block_log_n=pickles.BLOCK_LOG_N)
+    results = service.submit_states([pub_a], [proof_a], [tip_a])
+    assert calls == [1]
+    assert results[0].ok
+
+
+def test_system_rand_weights_entropy():
+    """system_rand_weights really uses OS entropy: two draws differ and
+    values are canonical limb arrays below the field moduli."""
+    from mina_bridge_tpu.curves import PALLAS, VESTA
+    from mina_bridge_tpu.fields.params import limbs_to_int
+    import numpy as np
+
+    a = np.asarray(vs.system_rand_weights(2))
+    b = np.asarray(vs.system_rand_weights(2))
+    assert a.shape == (2, 3, a.shape[-1])
+    assert not np.array_equal(a, b)
+    for arr in (a, b):
+        for bi in range(2):
+            assert limbs_to_int(arr[bi, 0]) < PALLAS.scalar.p
+            assert limbs_to_int(arr[bi, 2]) < VESTA.scalar.p
+
+
 def _account_fixture(rng, index, with_zkapp):
     account = fixtures.make_account(rng, with_zkapp=with_zkapp)
     ledger = fixtures.SparseLedger()

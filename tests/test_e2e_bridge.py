@@ -47,15 +47,13 @@ def world():
 def test_submit_state_e2e(world):
     rng, states, tip_state, eth_node, mina_node, sdk = world
     from mina_bridge_tpu.pickles import verifier as pickles
-    from tests.test_kimchi_device import rand_weights
-    from mina_bridge_tpu.curves import PALLAS
 
     cand_tip_hash = pm.host_full_state_hash(states[-1])
     tip_proof = pickles.prove_tip(cand_tip_hash)
-    rw = rand_weights(PALLAS, 1, n=3)
     tip_bytes = mt.PROTOCOL_STATE.encode(tip_state)
 
-    updated = sdk.update_bridge_chain(tip_bytes, tip_proof, rw)
+    # no rand_weights: exercises the service's own OS-entropy sampling
+    updated = sdk.update_bridge_chain(tip_bytes, tip_proof)
     assert updated
     # on-chain frontier now matches the candidate chain
     assert eth_node.state.state_hashes == [

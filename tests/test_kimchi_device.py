@@ -109,3 +109,21 @@ def test_device_verify_with_public_hint(proven):
     assert not bool(
         verifier.verify(dindex, dproofs, rw, pub_comm_hint=jnp.asarray(wrong))
     )
+
+    # MALFORMED hints (not well-formed canonical on-curve points) must be
+    # rejected by the well-formedness gate, not rely on the value binding:
+    # (a) off-curve point: y bumped by 1 — same limb ranges, not on curve
+    off = hint_np.copy()
+    y1 = (limbs_to_int(hint_np[0, 1]) + 1) % curve.base.p
+    off[0, 1] = int_to_limbs(y1, NLIMBS)
+    assert not bool(
+        verifier.verify(dindex, dproofs, rw, pub_comm_hint=jnp.asarray(off))
+    )
+    # (b) out-of-range limbs encoding the same residue: adds p to x via
+    # limb 0 — violates the canonical 13-bit bound invariant
+    oob = hint_np.copy()
+    oob[0, 0, 0] += 1 << 13
+    oob[0, 0, 1] -= 1  # keep a plausible-looking array, limb 0 overflows
+    assert not bool(
+        verifier.verify(dindex, dproofs, rw, pub_comm_hint=jnp.asarray(oob))
+    )
