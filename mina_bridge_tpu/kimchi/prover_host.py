@@ -93,12 +93,82 @@ ALPHA_LOOKUP = ALPHA_PERM + 3
 N_ALPHAS = ALPHA_LOOKUP + 4 + NSORTED - 1
 
 
+def n_chunks(n: int, srs_len: int) -> int:
+    """Commitment chunk count: a degree < n polynomial over an SRS of
+    srs_len points splits into ceil(n/srs_len) SRS-sized chunks —
+    kimchi's chunked commitments for domains larger than the SRS (the
+    real Pickles shapes: Step 2^18 / Wrap 2^17 over the 2^16 SRS,
+    reference README.md:485-486)."""
+    return max(1, -(-n // srs_len))
+
+
+def as_chunks(x) -> list:
+    """A commitment stored as a bare point (c == 1) or list of chunk
+    points (c > 1) -> uniform list view."""
+    return x if isinstance(x, list) else [x]
+
+
+def poly_chunks(coeffs: list, N: int, c: int) -> list[list]:
+    """Split a coefficient vector into c chunks of (at most) N."""
+    if c == 1:
+        return [coeffs]
+    return [coeffs[j * N : (j + 1) * N] for j in range(c)]
+
+
+def combine_chunk_evals(
+    evals_flat: list, nc: int, zeta: int, zeta_w: int, N: int, ps: int
+) -> list:
+    """Full-polynomial openings from flattened per-chunk openings:
+    f(y) = sum_j y^(N j) e_j(y) at each point, per opened polynomial."""
+    if nc == 1:
+        return evals_flat
+    zN, zwN = pow(zeta, N, ps), pow(zeta_w, N, ps)
+    out = []
+    for i in range(0, len(evals_flat), nc):
+        e0 = e1 = 0
+        p0 = p1 = 1
+        for j in range(nc):
+            e0 += p0 * evals_flat[i + j][0]
+            e1 += p1 * evals_flat[i + j][1]
+            p0 = p0 * zN % ps
+            p1 = p1 * zwN % ps
+        out.append((e0 % ps, e1 % ps))
+    return out
+
+
+def lagrange_chunk_eval(
+    dom: Domain, i: int, j: int, N: int, y: int
+) -> int:
+    """Evaluation of the j-th SRS-sized chunk of the Lagrange basis
+    polynomial L_i at y (closed form — no O(n) work):
+      L_i(X) = sum_d (a^(n-d)/n) X^d  with a = omega^i, so
+      (L_i)_j(y) = a^(n-jN-N+1) (y^N - a^N) / (n (y - a)).
+    For N = n, j = 0 this is the familiar a (y^n - 1)/(n (y - a))."""
+    p = dom.field.p
+    n = dom.n
+    a = pow(dom.omega, i, p)
+    num = pow(a, n - j * N - N + 1, p) * ((pow(y, N, p) - pow(a, N, p)) % p)
+    den = n * (y - a) % p
+    return num * pow(den, p - 2, p) % p
+
+
+def commit_chunks(curve, g, h, coeffs: list, blinds, N: int, c: int):
+    """Per-chunk Pedersen commitments; returns a bare point when c == 1
+    (bit-compatible with the unchunked format) else the chunk list."""
+    bl = blinds if isinstance(blinds, list) else [blinds] * c
+    out = [
+        ipa.host_commit(curve, g, h, ch, b)
+        for ch, b in zip(poly_chunks(coeffs, N, c), bl)
+    ]
+    return out[0] if c == 1 else out
+
+
 @dataclasses.dataclass
 class VerifierIndexHost:
     curve: CurveSpec
     domain: Domain
     npub: int
-    sigma_comm: list  # 7 affine points
+    sigma_comm: list  # 7 affine points (each a chunk list when c > 1)
     coeff_comm: list  # 15 affine points
     sel_comm: dict  # gate name -> affine point
     table_comm: list  # JOINT_WIDTH col comms + ids comm + rt_sel comm
@@ -110,6 +180,16 @@ class VerifierIndexHost:
     table_coeffs: list  # JOINT_WIDTH col coeffs + ids + rt_sel
     qlk_coeffs: list
     rt_rows: object  # domain rows occupied by the runtime table
+    # SRS length backing the commitments; None means domain.n (c = 1).
+    srs_len: int | None = None
+
+    @property
+    def chunk_size(self) -> int:
+        return self.srs_len if self.srs_len else self.domain.n
+
+    @property
+    def chunks(self) -> int:
+        return n_chunks(self.domain.n, self.chunk_size)
 
     def digest(self) -> int:
         """Poseidon hash of all index commitments (binds the circuit)."""
@@ -121,9 +201,10 @@ class VerifierIndexHost:
             + list(self.table_comm)
             + [self.qlk_comm]
         )
-        for pt in pts:
-            sponge.absorb(pt[0] if pt else 0)
-            sponge.absorb(pt[1] if pt else 0)
+        for pc in pts:
+            for pt in as_chunks(pc):
+                sponge.absorb(pt[0] if pt else 0)
+                sponge.absorb(pt[1] if pt else 0)
         sponge.absorb(self.domain.n)
         sponge.absorb(self.npub)
         return sponge.squeeze()
@@ -153,10 +234,16 @@ class HostProof:
         return (self.opening.chals, self.opening.sg)
 
 
-def setup(circuit: Circuit, curve: CurveSpec, g: list, h) -> VerifierIndexHost:
+def setup(
+    circuit: Circuit, curve: CurveSpec, g: list, h, srs_len: int | None = None
+) -> VerifierIndexHost:
     assert circuit.domain.field is curve.scalar
-    assert len(g) >= circuit.n
-    g = g[: circuit.n]
+    n = circuit.n
+    N = min(len(g), n) if srs_len is None else min(srs_len, n)
+    assert N & (N - 1) == 0, "SRS chunk size must be a power of two"
+    c = n_chunks(n, N)
+    g = g[:N]
+    assert len(g) == N, "SRS smaller than requested chunk size"
     sigma_coeffs = [ifft(circuit.domain, s) for s in circuit.sigma_evals()]
     coeff_coeffs = circuit.coeff_coeffs()
     sel_coeffs = circuit.sel_coeffs()
@@ -164,19 +251,19 @@ def setup(circuit: Circuit, curve: CurveSpec, g: list, h) -> VerifierIndexHost:
         ifft(circuit.domain, col) for col in circuit.table_column_evals()
     ]  # col0, col1, col2, ids, rt_sel
     qlk_coeffs = ifft(circuit.domain, circuit.q_lookup_evals())
+
+    def cc(coeffs):
+        return commit_chunks(curve, g, h, coeffs, 0, N, c)
+
     return VerifierIndexHost(
         curve=curve,
         domain=circuit.domain,
         npub=circuit.npub,
-        sigma_comm=[ipa.host_commit(curve, g, h, c, 0) for c in sigma_coeffs],
-        coeff_comm=[ipa.host_commit(curve, g, h, c, 0) for c in coeff_coeffs],
-        sel_comm={
-            k: ipa.host_commit(curve, g, h, c, 0) for k, c in sel_coeffs.items()
-        },
-        table_comm=[
-            ipa.host_commit(curve, g, h, c, 0) for c in table_coeffs
-        ],
-        qlk_comm=ipa.host_commit(curve, g, h, qlk_coeffs, 0),
+        sigma_comm=[cc(co) for co in sigma_coeffs],
+        coeff_comm=[cc(co) for co in coeff_coeffs],
+        sel_comm={k: cc(co) for k, co in sel_coeffs.items()},
+        table_comm=[cc(co) for co in table_coeffs],
+        qlk_comm=cc(qlk_coeffs),
         shifts=shifts(circuit.domain.field, circuit.domain.log_size),
         sigma_coeffs=sigma_coeffs,
         coeff_coeffs=coeff_coeffs,
@@ -184,6 +271,7 @@ def setup(circuit: Circuit, curve: CurveSpec, g: list, h) -> VerifierIndexHost:
         table_coeffs=table_coeffs,
         qlk_coeffs=qlk_coeffs,
         rt_rows=circuit.rt_rows(),
+        srs_len=None if c == 1 else N,
     )
 
 
@@ -246,14 +334,22 @@ def linearization_ft(
     alpha_pows,
     zeta: int,
 ):
-    """The prover-side ft polynomial (PARITY D5):
-    ft = perm_ft * sigma6 - Z_H(zeta) * sum_i zeta^(n i) t_i,
+    """The prover-side ft polynomial (PARITY D5), chunk-aware:
+    ft = perm_ft * (sum_j zeta^(N j) sigma6_j) - Z_H(zeta) * sum_i zeta^(N i) t_i,
     perm_ft = -alpha^PERM zkpm(zeta) beta z(zeta w) D5,
-    D5 = prod_{j<6} (w_j(z) + beta sigma_j(z) + gamma).
-    Returns (ft_coeffs, ft_blind, perm_ft, t_scales)."""
+    D5 = prod_{j<6} (w_j(z) + beta sigma_j(z) + gamma),
+    with N the SRS chunk size (N = n when unchunked, so the sums
+    collapse to sigma6 and the zeta^(n i) t-fold). The sigma6 sum is the
+    zeta-COLLAPSE of its chunked commitment: collapsing at zeta is sound
+    because zeta is fixed before ft is formed, and ft(zeta) still equals
+    perm_ft*sigma6(zeta) - Z_H(zeta)*t(zeta) as the identity needs;
+    ft_eval1 is the collapsed polynomial's value at zeta*omega.
+    evals are the COMBINED (full-polynomial) openings at (zeta, zeta*w).
+    Returns (ft_coeffs (length N), ft_blind, perm_ft, t_scales)."""
     ps = index.curve.scalar.p
     dom = index.domain
     n = dom.n
+    N, c = index.chunk_size, index.chunks
     w_z = [evals[i][0] for i in range(COLUMNS)]
     z_zw = evals[COLUMNS][1]
     sig_z = [evals[COLUMNS + 1 + j][0] for j in range(PERMUTS - 1)]
@@ -265,20 +361,26 @@ def linearization_ft(
         zkpm_z = zkpm_z * (zeta - pow(dom.omega, n - j, ps)) % ps
     perm_ft = (-alpha_pows[ALPHA_PERM] * zkpm_z * beta * z_zw * d5) % ps
     zh = (pow(zeta, n, ps) - 1) % ps
-    zn = pow(zeta, n, ps)
+    zN = pow(zeta, N, ps)
     t_scales = []
     zp = 1
-    for _ in range(T_CHUNKS):
+    for _ in range(len(t_chunks)):
         t_scales.append((-zh * zp) % ps)
-        zp = zp * zn % ps
-    sigma6 = index.sigma_coeffs[PERMUTS - 1]
-    ft_coeffs = [0] * n
-    for d in range(n):
-        acc = perm_ft * sigma6[d]
-        for i in range(T_CHUNKS):
-            acc += t_scales[i] * t_chunks[i][d]
+        zp = zp * zN % ps
+    sigma6_chunks = poly_chunks(index.sigma_coeffs[PERMUTS - 1], N, c)
+    sigma6_scales = [perm_ft * pow(zN, j, ps) % ps for j in range(c)]
+    ft_coeffs = [0] * N
+    for d in range(N):
+        acc = 0
+        for j in range(c):
+            acc += sigma6_scales[j] * sigma6_chunks[j][d]
+        for i, tc in enumerate(t_chunks):
+            if d < len(tc):
+                acc += t_scales[i] * tc[d]
         ft_coeffs[d] = acc % ps
-    ft_blind = sum(t_scales[i] * t_blinds[i] for i in range(T_CHUNKS)) % ps
+    ft_blind = sum(
+        t_scales[i] * t_blinds[i] for i in range(len(t_chunks))
+    ) % ps
     return ft_coeffs, ft_blind, perm_ft, t_scales
 
 
@@ -429,7 +531,9 @@ def prove(
     dom = circuit.domain
     ps = curve.scalar.p
     n = dom.n
-    g = g[:n]
+    N, nc = index.chunk_size, index.chunks  # SRS chunk size / chunk count
+    g = g[:N]
+    assert len(g) == N, "SRS smaller than the index's chunk size"
     circuit.check_witness(witness, public)
     ks = index.shifts
     gctx = gate_ctx(dom.field)
@@ -443,11 +547,14 @@ def prove(
         for r in range(n - ZK_ROWS, n):
             witness[c][r] = rng.randrange(ps)
 
-    # 1. witness commitments
+    # 1. witness commitments (chunked when n > N; one blind per chunk)
     w_coeffs = [ifft(dom, col) for col in witness]
-    w_blinds = [rng.randrange(ps) for _ in range(COLUMNS)]
+    w_blinds = [
+        [rng.randrange(ps) for _ in range(nc)] for _ in range(COLUMNS)
+    ]
     w_comm = [
-        ipa.host_commit(curve, g, h, c, b) for c, b in zip(w_coeffs, w_blinds)
+        commit_chunks(curve, g, h, co, bl, N, nc)
+        for co, bl in zip(w_coeffs, w_blinds)
     ]
 
     # public commitment, absorbed as a point like kimchi does (PARITY
@@ -459,14 +566,19 @@ def prove(
     pub_coeffs = ifft(
         dom, [public[i] if i < len(public) else 0 for i in range(n)]
     )
-    pub_comm = ipa.host_commit(curve, g, h, pub_coeffs, 0)
+    pub_comm = commit_chunks(curve, g, h, pub_coeffs, 0, N, nc)
+    pub_comm_chunks = as_chunks(pub_comm)
 
     sponge = HostSponge(poseidon_spec(ipa.sponge_for(curve)))
     sponge.absorb(index.digest())
     _absorb_prev_sg(sponge, prev_challenges)
-    _absorb_point(sponge, hc.add(curve, pub_comm, h))
-    for pt in w_comm:
+    # kimchi's blinder-1 offset rides on the FIRST chunk only (PARITY D10)
+    _absorb_point(sponge, hc.add(curve, pub_comm_chunks[0], h))
+    for pt in pub_comm_chunks[1:]:
         _absorb_point(sponge, pt)
+    for pc in w_comm:
+        for pt in as_chunks(pc):
+            _absorb_point(sponge, pt)
 
     # 1b. lookup (kimchi shape): runtime-table commitment, joint
     # combiner, joint table values, per-row query values, sorted
@@ -479,9 +591,10 @@ def prove(
     for k, i in enumerate(circuit.rt_rows()):
         rt_evals[i] = runtime_table[k] % ps
     rt_coeffs = ifft(dom, rt_evals)
-    rt_blind = rng.randrange(ps)
-    rt_comm = ipa.host_commit(curve, g, h, rt_coeffs, rt_blind)
-    _absorb_point(sponge, rt_comm)
+    rt_blind = [rng.randrange(ps) for _ in range(nc)]
+    rt_comm = commit_chunks(curve, g, h, rt_coeffs, rt_blind, N, nc)
+    for pt in as_chunks(rt_comm):
+        _absorb_point(sponge, pt)
     joint = ipa.host_endo_chal(curve, sponge)
     j_pows = [pow(joint, k, ps) for k in range(G.JOINT_WIDTH + 1)]
 
@@ -525,12 +638,16 @@ def prove(
     assert len(s_seq) == NSORTED * n - (NSORTED - 1)
     s_vals = [s_seq[q * (n - 1) : q * (n - 1) + n] for q in range(NSORTED)]
     s_coeffs = [ifft(dom, v) for v in s_vals]
-    s_blinds = [rng.randrange(ps) for _ in range(NSORTED)]
-    s_comm = [
-        ipa.host_commit(curve, g, h, c, b) for c, b in zip(s_coeffs, s_blinds)
+    s_blinds = [
+        [rng.randrange(ps) for _ in range(nc)] for _ in range(NSORTED)
     ]
-    for pt in s_comm:
-        _absorb_point(sponge, pt)
+    s_comm = [
+        commit_chunks(curve, g, h, co, bl, N, nc)
+        for co, bl in zip(s_coeffs, s_blinds)
+    ]
+    for pc in s_comm:
+        for pt in as_chunks(pc):
+            _absorb_point(sponge, pt)
 
     beta = ipa.host_squeeze_128(sponge)
     gamma = ipa.host_squeeze_128(sponge)
@@ -562,8 +679,8 @@ def prove(
     assert len(z) == n
 
     z_coeffs = ifft(dom, z)
-    z_blind = rng.randrange(ps)
-    z_comm = ipa.host_commit(curve, g, h, z_coeffs, z_blind)
+    z_blind = [rng.randrange(ps) for _ in range(nc)]
+    z_comm = commit_chunks(curve, g, h, z_coeffs, z_blind, N, nc)
 
     # 2b. lookup aggregation Z_L (plookup recurrence over rows 0..n-2,
     # kimchi shape: LOOKUPS_PER_ROW query factors, NSORTED sorted factors)
@@ -585,11 +702,13 @@ def prove(
         zl.append(zl[-1] * zl_nums[i] % ps * zl_dinv[i] % ps)
     assert zl[-1] == 1, "plookup aggregation does not close"
     zl_coeffs = ifft(dom, zl)
-    zl_blind = rng.randrange(ps)
-    zl_comm = ipa.host_commit(curve, g, h, zl_coeffs, zl_blind)
+    zl_blind = [rng.randrange(ps) for _ in range(nc)]
+    zl_comm = commit_chunks(curve, g, h, zl_coeffs, zl_blind, N, nc)
 
-    _absorb_point(sponge, z_comm)
-    _absorb_point(sponge, zl_comm)
+    for pt in as_chunks(z_comm):
+        _absorb_point(sponge, pt)
+    for pt in as_chunks(zl_comm):
+        _absorb_point(sponge, pt)
     alpha = ipa.host_endo_chal(curve, sponge)
     alpha_pows = [pow(alpha, k, ps) for k in range(N_ALPHAS)]
 
@@ -619,11 +738,12 @@ def prove(
         t_coeffs = quotient_coeffs(*qargs)
     else:
         t_coeffs = _quotient_coeffs_py(*qargs)
-    assert all(c == 0 for c in t_coeffs[T_CHUNKS * n :]), "t degree overflow"
-    t_chunks = [t_coeffs[i * n : (i + 1) * n] for i in range(T_CHUNKS)]
-    t_blinds = [rng.randrange(ps) for _ in range(T_CHUNKS)]
+    assert all(co == 0 for co in t_coeffs[T_CHUNKS * n :]), "t degree overflow"
+    TC = T_CHUNKS * nc  # t chunks are SRS-sized: 7 n-sized = 7*nc N-sized
+    t_chunks = [t_coeffs[i * N : (i + 1) * N] for i in range(TC)]
+    t_blinds = [rng.randrange(ps) for _ in range(TC)]
     t_comm = [
-        ipa.host_commit(curve, g, h, c, b) for c, b in zip(t_chunks, t_blinds)
+        ipa.host_commit(curve, g, h, co, b) for co, b in zip(t_chunks, t_blinds)
     ]
     for pt in t_comm:
         _absorb_point(sponge, pt)
@@ -633,34 +753,65 @@ def prove(
 
     # 4. evaluations in OPEN_ORDER (sigma6 / t chunks fold into ft).
     # The joint-table row: poly/blind/comm are the j-combination of the
-    # index's column polys + the runtime poly (homomorphic).
-    tj_blind = j_pows[1] * rt_blind % ps
-    tj_comm = index.table_comm[0]
-    tj_comm = hc.add(
-        curve, tj_comm, hc.mul(curve, j_pows[1], hc.add(curve, index.table_comm[1], rt_comm))
-    )
-    tj_comm = hc.add(curve, tj_comm, hc.mul(curve, j_pows[2], index.table_comm[2]))
-    tj_comm = hc.add(curve, tj_comm, hc.mul(curve, j_pows[3], index.table_comm[3]))
+    # index's column polys + the runtime poly (homomorphic, per chunk).
+    tj_blind = [j_pows[1] * rb % ps for rb in rt_blind]
+    tj_ch = []
+    for j in range(nc):
+        pt = as_chunks(index.table_comm[0])[j]
+        pt = hc.add(
+            curve,
+            pt,
+            hc.mul(
+                curve,
+                j_pows[1],
+                hc.add(
+                    curve,
+                    as_chunks(index.table_comm[1])[j],
+                    as_chunks(rt_comm)[j],
+                ),
+            ),
+        )
+        pt = hc.add(
+            curve, pt, hc.mul(curve, j_pows[2], as_chunks(index.table_comm[2])[j])
+        )
+        pt = hc.add(
+            curve, pt, hc.mul(curve, j_pows[3], as_chunks(index.table_comm[3])[j])
+        )
+        tj_ch.append(pt)
+    tj_comm = tj_ch[0] if nc == 1 else tj_ch
     polys = opened_polys(
         index, w_coeffs, z_coeffs, (s_coeffs, zl_coeffs, tj_coeffs, rt_coeffs)
     )
-    blinds = (
+    zero_bl = [0] * nc
+    blind_lists = (
         w_blinds
         + [z_blind]
-        + [0] * (PERMUTS - 1 + COEFFS + len(G.GATE_ORDER))
+        + [zero_bl] * (PERMUTS - 1 + COEFFS + len(G.GATE_ORDER))
         + s_blinds
-        + [zl_blind, tj_blind, 0, rt_blind, 0]
+        + [zl_blind, tj_blind, zero_bl, rt_blind, zero_bl]
     )
+    blinds = [b for bl in blind_lists for b in bl]
     comms = opened_comms(index, w_comm, z_comm, (s_comm, zl_comm, tj_comm, rt_comm))
-    evals = [[poly_eval(c, zeta, ps), poly_eval(c, zeta_w, ps)] for c in polys]
+    # per-chunk openings at (zeta, zeta*w), flattened [poly][chunk] —
+    # the proof's wire format; the identity consumes the COMBINED evals
+    poly_ch = [poly_chunks(co, N, nc) for co in polys]
+    evals = [
+        [poly_eval(ch, zeta, ps), poly_eval(ch, zeta_w, ps)]
+        for chs in poly_ch
+        for ch in chs
+    ]
+    evals_comb = combine_chunk_evals(evals, nc, zeta, zeta_w, N, ps)
 
     # linearization polynomial ft + its second evaluation point
     ft_coeffs, ft_blind, _, _ = linearization_ft(
-        index, t_chunks, t_blinds, evals, beta, gamma, alpha_pows, zeta
+        index, t_chunks, t_blinds, evals_comb, beta, gamma, alpha_pows, zeta
     )
     ft_eval1 = poly_eval(ft_coeffs, zeta_w, ps)
-    pub_eval_z = poly_eval(pub_coeffs, zeta, ps)
-    pub_eval_w = poly_eval(pub_coeffs, zeta_w, ps)
+    pub_chunk_coeffs = poly_chunks(pub_coeffs, N, nc)
+    pub_evals = [
+        (poly_eval(ch, zeta, ps), poly_eval(ch, zeta_w, ps))
+        for ch in pub_chunk_coeffs
+    ]
 
     # FR sponge: evaluations bind in the scalar field (PARITY D3)
     frs = HostSponge(poseidon_spec(curve.scalar.name))
@@ -668,8 +819,9 @@ def prove(
     for chals, _sg in prev_challenges:
         for ch in chals:
             frs.absorb(ch)
-    frs.absorb(pub_eval_z)
-    frs.absorb(pub_eval_w)
+    for ez, ew in pub_evals:
+        frs.absorb(ez)
+        frs.absorb(ew)
     frs.absorb(ft_eval1)
     for e0, e1 in evals:
         frs.absorb(e0)
@@ -678,16 +830,19 @@ def prove(
     u = ipa.host_endo_chal(curve, frs)
 
     # v-combine row order: carried accumulators (b_poly rows against sg),
-    # then [public, ft], then the 48 prover-opened rows. The IPA opening
-    # continues the FQ sponge.
+    # then [public chunks, ft], then the prover-opened chunk rows. The
+    # IPA opening continues the FQ sponge; every opened vector has
+    # length <= N, so the IPA runs over the SRS regardless of domain.
     prev_polys = [ipa.host_s_vector(chals, ps) for chals, _ in prev_challenges]
     prev_comms = [sg for _, sg in prev_challenges]
     ft_comm = ipa.host_commit(curve, g, h, ft_coeffs, ft_blind)
+    flat_polys = [ch for chs in poly_ch for ch in chs]
+    flat_comms = [pt for cm in comms for pt in as_chunks(cm)]
     prover = ipa.HostIpaProver(curve, g, h, rng)
     opening, _ = prover.open(
-        prev_polys + [pub_coeffs, ft_coeffs] + polys,
-        [0] * len(prev_polys) + [0, ft_blind] + blinds,
-        prev_comms + [pub_comm, ft_comm] + comms,
+        prev_polys + pub_chunk_coeffs + [ft_coeffs] + flat_polys,
+        [0] * len(prev_polys) + [0] * nc + [ft_blind] + blinds,
+        prev_comms + pub_comm_chunks + [ft_comm] + flat_comms,
         [zeta, zeta_w],
         sponge=sponge,
         v=v,
@@ -714,37 +869,49 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     dom = index.domain
     ps = curve.scalar.p
     n = dom.n
+    N, nc = index.chunk_size, index.chunks
+    g = g[:N]
     ks = index.shifts
     ops = G.host_ops(ps)
     gctx = gate_ctx(dom.field)
 
     # public commitment via the Lagrange-basis commitments (PARITY D10):
-    # the verifier recomputes sum_i p_i L_i and absorbs it +H, exactly
-    # mirroring the prover's transcript.
+    # the verifier recomputes sum_i p_i L_i (per chunk) and absorbs the
+    # first chunk +H, exactly mirroring the prover's transcript.
     from ..curves import host as hc
 
-    pub_comm = None
+    pub_comm_chunks = [None] * nc
     for i, p_i in enumerate(proof.public):
         unit = [0] * n
         unit[i] = 1
-        li_comm = ipa.host_commit(index.curve, g, h, ifft(dom, unit), 0)
-        pub_comm = hc.add(index.curve, pub_comm, hc.mul(index.curve, p_i, li_comm))
+        li = as_chunks(commit_chunks(curve, g, h, ifft(dom, unit), 0, N, nc))
+        for j in range(nc):
+            pub_comm_chunks[j] = hc.add(
+                curve, pub_comm_chunks[j], hc.mul(curve, p_i, li[j])
+            )
 
     sponge = HostSponge(poseidon_spec(ipa.sponge_for(curve)))
     sponge.absorb(index.digest())
     _absorb_prev_sg(sponge, proof.prev_challenges)
-    _absorb_point(sponge, hc.add(curve, pub_comm, h))
-    for pt in proof.w_comm:
+    _absorb_point(sponge, hc.add(curve, pub_comm_chunks[0], h))
+    for pt in pub_comm_chunks[1:]:
         _absorb_point(sponge, pt)
-    _absorb_point(sponge, proof.rt_comm)
+    for pc in proof.w_comm:
+        for pt in as_chunks(pc):
+            _absorb_point(sponge, pt)
+    for pt in as_chunks(proof.rt_comm):
+        _absorb_point(sponge, pt)
     joint = ipa.host_endo_chal(curve, sponge)
     j_pows = [pow(joint, k, ps) for k in range(G.JOINT_WIDTH + 1)]
-    for pt in proof.s_comm:
-        _absorb_point(sponge, pt)
+    for pc in proof.s_comm:
+        for pt in as_chunks(pc):
+            _absorb_point(sponge, pt)
     beta = ipa.host_squeeze_128(sponge)
     gamma = ipa.host_squeeze_128(sponge)
-    _absorb_point(sponge, proof.z_comm)
-    _absorb_point(sponge, proof.zl_comm)
+    for pt in as_chunks(proof.z_comm):
+        _absorb_point(sponge, pt)
+    for pt in as_chunks(proof.zl_comm):
+        _absorb_point(sponge, pt)
     alpha = ipa.host_endo_chal(curve, sponge)
     alpha_pows = [pow(alpha, k, ps) for k in range(N_ALPHAS)]
     for pt in proof.t_comm:
@@ -753,28 +920,37 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     zeta_w = zeta * dom.omega % ps
     fq_digest = sponge.squeeze()
 
-    pub_eval_z = (
-        sum(
-            proof.public[i] * dom.lagrange_eval(i, zeta)
-            for i in range(len(proof.public))
+    # per-chunk public openings (closed-form chunk Lagrange evals) + the
+    # combined (full-polynomial) values for the scalar identity
+    pub_evals = []
+    for j in range(nc):
+        ez = (
+            sum(
+                proof.public[i] * lagrange_chunk_eval(dom, i, j, N, zeta)
+                for i in range(len(proof.public))
+            )
+            % ps
         )
-        % ps
-    )
-    pub_eval_w = (
-        sum(
-            proof.public[i] * dom.lagrange_eval(i, zeta_w)
-            for i in range(len(proof.public))
+        ew = (
+            sum(
+                proof.public[i] * lagrange_chunk_eval(dom, i, j, N, zeta_w)
+                for i in range(len(proof.public))
+            )
+            % ps
         )
-        % ps
-    )
+        pub_evals.append((ez, ew))
+    (pub_eval_z, pub_eval_w) = combine_chunk_evals(
+        pub_evals, nc, zeta, zeta_w, N, ps
+    )[0]
 
     frs = HostSponge(poseidon_spec(curve.scalar.name))
     frs.absorb(fq_digest % ps)
     for chals, _sg in proof.prev_challenges:
         for ch in chals:
             frs.absorb(ch)
-    frs.absorb(pub_eval_z)
-    frs.absorb(pub_eval_w)
+    for ez, ew in pub_evals:
+        frs.absorb(ez)
+        frs.absorb(ew)
     frs.absorb(proof.ft_eval1)
     for e0, e1 in proof.evals:
         frs.absorb(e0)
@@ -782,7 +958,7 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     v = ipa.host_endo_chal(curve, frs)
     u = ipa.host_endo_chal(curve, frs)
 
-    ev = proof.evals
+    ev = combine_chunk_evals(proof.evals, nc, zeta, zeta_w, N, ps)
     off = 0
     w_z = [ev[off + i][0] for i in range(COLUMNS)]
     w_zw = [ev[off + i][1] for i in range(COLUMNS)]
@@ -856,34 +1032,57 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
     ft_eval0 = (-S) % ps
 
     # verifier-side commitments: public = sum p_i L_i (Lagrange comms);
-    # ft = perm_ft * sigma6_comm - zh * sum zeta^(n i) t_comm_i
-    # (pub_comm was computed above for the transcript; reused here as the
-    # public opening row's commitment)
-    zn = pow(zeta, n, ps)
-    ft_comm = hc.mul(index.curve, perm_ft, index.sigma_comm[PERMUTS - 1])
+    # ft = perm_ft * (sum_j zeta^(N j) sigma6_j) - zh * sum zeta^(N i) t_i
+    # — the zeta-collapse of the chunked sigma6/t commitments (degree <
+    # N, a single opened row; see linearization_ft). The pub_comm chunks
+    # computed above for the transcript are reused as the public opening
+    # rows' commitments.
+    zN = pow(zeta, N, ps)
+    ft_comm = None
+    zp = perm_ft
+    for s6 in as_chunks(index.sigma_comm[PERMUTS - 1]):
+        ft_comm = hc.add(index.curve, ft_comm, hc.mul(index.curve, zp, s6))
+        zp = zp * zN % ps
     zp = 1
-    for i in range(T_CHUNKS):
+    for i in range(T_CHUNKS * nc):
         ft_comm = hc.add(
             index.curve,
             ft_comm,
             hc.mul(index.curve, (-zh * zp) % ps, proof.t_comm[i]),
         )
-        zp = zp * zn % ps
+        zp = zp * zN % ps
 
-    tj_comm = index.table_comm[0]
-    tj_comm = hc.add(
-        curve,
-        tj_comm,
-        hc.mul(curve, j_pows[1], hc.add(curve, index.table_comm[1], proof.rt_comm)),
-    )
-    tj_comm = hc.add(curve, tj_comm, hc.mul(curve, j_pows[2], index.table_comm[2]))
-    tj_comm = hc.add(curve, tj_comm, hc.mul(curve, j_pows[3], index.table_comm[3]))
+    tj_ch = []
+    for j in range(nc):
+        pt = as_chunks(index.table_comm[0])[j]
+        pt = hc.add(
+            curve,
+            pt,
+            hc.mul(
+                curve,
+                j_pows[1],
+                hc.add(
+                    curve,
+                    as_chunks(index.table_comm[1])[j],
+                    as_chunks(proof.rt_comm)[j],
+                ),
+            ),
+        )
+        pt = hc.add(
+            curve, pt, hc.mul(curve, j_pows[2], as_chunks(index.table_comm[2])[j])
+        )
+        pt = hc.add(
+            curve, pt, hc.mul(curve, j_pows[3], as_chunks(index.table_comm[3])[j])
+        )
+        tj_ch.append(pt)
+    tj_comm = tj_ch[0] if nc == 1 else tj_ch
     comms = opened_comms(
         index,
         proof.w_comm,
         proof.z_comm,
         (proof.s_comm, proof.zl_comm, tj_comm, proof.rt_comm),
     )
+    flat_comms = [pt for cm in comms for pt in as_chunks(cm)]
     # verifier-computed rows for the carried accumulators: opening
     # b_poly(chals, .) against sg at a random zeta decides the deferred
     # claim sg == <s(chals), G> (Schwartz-Zippel over the binding comm)
@@ -899,10 +1098,11 @@ def host_verify(index: VerifierIndexHost, proof: HostProof, g: list, h) -> bool:
         index.curve,
         g,
         h,
-        prev_comms + [pub_comm, ft_comm] + comms,
+        prev_comms + pub_comm_chunks + [ft_comm] + flat_comms,
         [zeta, zeta_w],
         prev_evals
-        + [[pub_eval_z, pub_eval_w], [ft_eval0, proof.ft_eval1]]
+        + [list(pe) for pe in pub_evals]
+        + [[ft_eval0, proof.ft_eval1]]
         + proof.evals,
         proof.opening,
         sponge=sponge,
