@@ -60,28 +60,37 @@ from .prover_host import (
         "omega_zk_rep",
         "n_inv_rep",
         "omega_pows_rep",
+        "omega_chunk_rep",
+        "lag_chunk_a_rep",
+        "omega_iN_rep",
         "shifts_rep",
     ],
-    meta_fields=["curve", "n", "log_n", "npub", "field_name"],
+    meta_fields=["curve", "n", "log_n", "npub", "field_name", "nc"],
 )
 @dataclasses.dataclass
 class DeviceVerifierIndex:
     """Verifier index as a jit PYTREE argument: every per-circuit constant
     is an array leaf, so all circuits with the same shape signature
-    (n, npub, field, curve) share ONE compiled verify executable."""
+    (n, npub, field, curve, nc) share ONE compiled verify executable.
+
+    nc is the commitment chunk count (1 for domains within the SRS):
+    every opened polynomial is committed/opened in nc SRS-sized chunks
+    (prover_host chunk helpers; reference README.md:485-486 real
+    domains Step 2^18 / Wrap 2^17 over the 2^16 SRS)."""
 
     curve: CurveSpec
     n: int
     log_n: int
     npub: int
     field_name: str
-    # (37, 2, NLIMBS): sigma[7] + coeffs[15] + sel[9] + table cols
-    # [col0, col1, col2, ids, rt_sel] + q_lookup
+    nc: int
+    # (37, nc, 2, NLIMBS): sigma[7] + coeffs[15] + sel[9] + table cols
+    # [col0, col1, col2, ids, rt_sel] + q_lookup, per chunk
     index_comms: np.ndarray
-    # (max(npub,1), 2, NLIMBS): Lagrange-basis commitments L_i for the
-    # public-input row (kimchi keeps these in the SRS per domain)
+    # (max(npub,1), nc, 2, NLIMBS): chunked Lagrange-basis commitments
+    # L_i for the public-input rows (kimchi keeps these in the SRS)
     lagrange_comm: np.ndarray
-    g_affine: np.ndarray  # (n, 2, NLIMBS)
+    g_affine: np.ndarray  # (N, 2, NLIMBS): the SRS prefix (chunk size)
     h_affine: np.ndarray  # (2, NLIMBS)
     digest_limbs: np.ndarray  # (NLIMBS,)
     omega_rep: np.ndarray  # (REP_LIMBS,)
@@ -89,10 +98,22 @@ class DeviceVerifierIndex:
     omega_zk_rep: np.ndarray  # (ZK_ROWS, REP_LIMBS): omega^(n-1..n-ZK_ROWS)
     n_inv_rep: np.ndarray  # (REP_LIMBS,)
     omega_pows_rep: np.ndarray  # (npub, REP_LIMBS)
+    omega_chunk_rep: np.ndarray  # (REP_LIMBS,): omega^N (primitive nc-th root)
+    # closed-form public chunk-eval constants (prover_host.
+    # lagrange_chunk_eval): A_ij = omega^(i(n - jN - N + 1)) and
+    # omega^(iN), so (L_i)_j(y) = A_ij (y^N - omega^(iN)) / (n (y - w^i))
+    lag_chunk_a_rep: np.ndarray  # (npub, nc, REP_LIMBS)
+    omega_iN_rep: np.ndarray  # (npub, REP_LIMBS)
     shifts_rep: np.ndarray  # (PERMUTS, 1, REP_LIMBS)
+
+    @property
+    def chunk_size(self) -> int:
+        return self.n // self.nc
 
     @classmethod
     def from_host(cls, index: VerifierIndexHost, g, h) -> "DeviceVerifierIndex":
+        from .prover_host import as_chunks, commit_chunks
+
         def aff(pt):
             if pt is None:
                 return np.zeros((2, NLIMBS), np.int32)
@@ -101,36 +122,54 @@ class DeviceVerifierIndex:
         def rep(v):
             return int_to_limbs(v % index.curve.scalar.p, ffl.REP_LIMBS)
 
-        comms = [aff(p) for p in index.sigma_comm]
-        comms += [aff(p) for p in index.coeff_comm]
-        comms += [aff(index.sel_comm[g_]) for g_ in G.GATE_ORDER]
-        comms += [aff(p) for p in index.table_comm]  # 5 table-col comms
-        comms += [aff(index.qlk_comm)]
+        nc = index.chunks
+        N = index.chunk_size
+
+        def affc(pc):  # (nc, 2, NLIMBS)
+            return np.stack([aff(p) for p in as_chunks(pc)])
+
+        comms = [affc(p) for p in index.sigma_comm]
+        comms += [affc(p) for p in index.coeff_comm]
+        comms += [affc(index.sel_comm[g_]) for g_ in G.GATE_ORDER]
+        comms += [affc(p) for p in index.table_comm]  # 5 table-col comms
+        comms += [affc(index.qlk_comm)]
         n = index.domain.n
         fs = index.curve.scalar
         omega = index.domain.omega
-        # Lagrange commitments for the public row: L_i = commit(l_i)
-        from ..commitment import ipa as ipa_mod
+        # chunked Lagrange commitments for the public rows
         from .domain import ifft as _ifft
 
+        g = g[:N]
         lag = []
         for i in range(max(index.npub, 1)):
             unit = [0] * n
             unit[i] = 1
             lag.append(
-                aff(ipa_mod.host_commit(index.curve, g, h, _ifft(index.domain, unit), 0))
+                affc(
+                    commit_chunks(
+                        index.curve, g, h, _ifft(index.domain, unit), 0, N, nc
+                    )
+                )
                 if index.npub
-                else np.zeros((2, NLIMBS), np.int32)
+                else np.zeros((nc, 2, NLIMBS), np.int32)
             )
+        npub1 = max(index.npub, 1)
+        lag_a = np.zeros((npub1, nc, ffl.REP_LIMBS), np.int32)
+        om_iN = np.zeros((npub1, ffl.REP_LIMBS), np.int32)
+        for i in range(npub1):
+            om_iN[i] = rep(pow(omega, i * N, fs.p))
+            for j in range(nc):
+                lag_a[i, j] = rep(pow(omega, i * (n - j * N - N + 1), fs.p))
         return cls(
             curve=index.curve,
             n=n,
             log_n=index.domain.log_size,
             npub=index.npub,
             field_name=index.domain.field.name,
+            nc=nc,
             index_comms=np.stack(comms),
             lagrange_comm=np.stack(lag),
-            g_affine=np.stack([aff(p) for p in g[:n]]),
+            g_affine=np.stack([aff(p) for p in g]),
             h_affine=aff(h),
             digest_limbs=int_to_limbs(index.digest(), NLIMBS),
             omega_rep=rep(omega),
@@ -142,6 +181,9 @@ class DeviceVerifierIndex:
             omega_pows_rep=np.stack(
                 [rep(pow(omega, i, fs.p)) for i in range(max(index.npub, 1))]
             ),
+            omega_chunk_rep=rep(pow(omega, N, fs.p)),
+            lag_chunk_a_rep=lag_a,
+            omega_iN_rep=om_iN,
             shifts_rep=np.stack([rep(k) for k in index.shifts])[:, None],
         )
 
@@ -157,16 +199,19 @@ class DeviceVerifierIndex:
 )
 @dataclasses.dataclass
 class DeviceProofs:
-    """B stacked proofs (all canonical little-endian limb arrays)."""
+    """B stacked proofs (all canonical little-endian limb arrays).
+
+    nc below is the commitment chunk count (1 unless the domain exceeds
+    the SRS); chunked commitments/openings are flattened [poly][chunk]."""
 
     public: jax.Array  # (B, npub, NLIMBS)
-    w_comm: jax.Array  # (B, 15, 2, NLIMBS)
-    z_comm: jax.Array  # (B, 2, NLIMBS)
-    s_comm: jax.Array  # (B, NSORTED, 2, NLIMBS) lookup sorted columns
-    rt_comm: jax.Array  # (B, 2, NLIMBS) runtime-table commitment
-    zl_comm: jax.Array  # (B, 2, NLIMBS)
-    t_comm: jax.Array  # (B, 7, 2, NLIMBS)
-    evals: jax.Array  # (B, N_OPENED=56, 2, NLIMBS)
+    w_comm: jax.Array  # (B, 15*nc, 2, NLIMBS)
+    z_comm: jax.Array  # (B, nc, 2, NLIMBS)
+    s_comm: jax.Array  # (B, NSORTED*nc, 2, NLIMBS) lookup sorted columns
+    rt_comm: jax.Array  # (B, nc, 2, NLIMBS) runtime-table commitment
+    zl_comm: jax.Array  # (B, nc, 2, NLIMBS)
+    t_comm: jax.Array  # (B, 7*nc, 2, NLIMBS)
+    evals: jax.Array  # (B, N_OPENED*nc = 56*nc, 2, NLIMBS)
     ft_eval1: jax.Array  # (B, NLIMBS): ft(zeta*omega), PARITY D5
     lr: jax.Array  # (B, k, 2, 2, NLIMBS)
     delta: jax.Array  # (B, 2, NLIMBS)
@@ -181,10 +226,15 @@ class DeviceProofs:
 
     @classmethod
     def from_host(cls, proofs: list[HostProof]) -> "DeviceProofs":
+        from .prover_host import as_chunks
+
         def aff(pt):
             if pt is None:
                 return np.zeros((2, NLIMBS), np.int32)
             return np.stack([int_to_limbs(pt[0], NLIMBS), int_to_limbs(pt[1], NLIMBS)])
+
+        def affc(pcs):  # flatten [poly][chunk] commitment lists
+            return np.stack([aff(p) for pc in pcs for p in as_chunks(pc)])
 
         def sc(x):
             return int_to_limbs(x, NLIMBS)
@@ -210,15 +260,11 @@ class DeviceProofs:
             public=jnp.asarray(
                 np.stack([np.stack([sc(x) for x in p.public]) for p in proofs])
             ),
-            w_comm=jnp.asarray(
-                np.stack([np.stack([aff(c) for c in p.w_comm]) for p in proofs])
-            ),
-            z_comm=jnp.asarray(np.stack([aff(p.z_comm) for p in proofs])),
-            s_comm=jnp.asarray(
-                np.stack([np.stack([aff(c) for c in p.s_comm]) for p in proofs])
-            ),
-            rt_comm=jnp.asarray(np.stack([aff(p.rt_comm) for p in proofs])),
-            zl_comm=jnp.asarray(np.stack([aff(p.zl_comm) for p in proofs])),
+            w_comm=jnp.asarray(np.stack([affc(p.w_comm) for p in proofs])),
+            z_comm=jnp.asarray(np.stack([affc([p.z_comm]) for p in proofs])),
+            s_comm=jnp.asarray(np.stack([affc(p.s_comm) for p in proofs])),
+            rt_comm=jnp.asarray(np.stack([affc([p.rt_comm]) for p in proofs])),
+            zl_comm=jnp.asarray(np.stack([affc([p.zl_comm]) for p in proofs])),
             t_comm=jnp.asarray(
                 np.stack([np.stack([aff(c) for c in p.t_comm]) for p in proofs])
             ),
@@ -267,19 +313,21 @@ def verify(
     batched opening MSM via the ft linearization row (ft_eval0 = -S is
     computed here from the opened evals).
 
-    pub_comm_hint: optional UNTRUSTED (B, 2, NLIMBS) canonical affine
-    host hint for the blinded public commitment sum_i p_i L_i + H. When
-    given, the hint is absorbed instead of running the 260-step
-    on-device double-and-add (the longest sequential chain in the
-    graph), and the claim hint == sum_i p_i L_i + H is folded into the
-    same batched MSM under the independent verifier weight w^2 (sound
-    by Schwartz-Zippel: w is service randomness sampled after the proof
-    is fixed). host_public_commitments() computes correct hints.
+    pub_comm_hint: optional UNTRUSTED (B, nc, 2, NLIMBS) canonical
+    affine host hint for the chunked blinded public commitment chunks
+    [sum_i p_i L_i,0 + H, sum_i p_i L_i,1, ...]. When given, the hint
+    is absorbed instead of running the 260-step on-device double-and-add
+    (the longest sequential chain in the graph), and the per-chunk claim
+    hint_j == sum_i p_i L_i,j (+H at j=0) is folded into the same
+    batched MSM under verifier weights w^2 v^j (sound by Schwartz-Zippel:
+    w is service randomness sampled after the proof is fixed).
+    host_public_commitments() computes correct hints.
     """
     curve = index.curve
     fs = curve.scalar
     B = proofs.z1.shape[0]
     npub = proofs.public.shape[1]
+    nc = index.nc
     ps_fq = poseidon_spec(ipa.sponge_for(curve))
     ps_fr = poseidon_spec(fs.name)
     mask128 = jnp.asarray(ipa._MASK128)
@@ -293,26 +341,26 @@ def verify(
             ("absorb", proofs.prev_sg[:, r, 0]),
             ("absorb", proofs.prev_sg[:, r, 1]),
         ]
-    # Public commitment absorbed as a point (kimchi shape; PARITY D10):
-    # P_pub = sum_i p_i L_i + 1*H over the index's Lagrange commitments
-    # (kimchi's blinded public commitment). Double-and-add is <1% of the
-    # main MSM's work; one Fermat inversion normalizes to affine for the
-    # sponge.
+    # Public commitment absorbed as points (kimchi shape; PARITY D10):
+    # chunk j of P_pub = sum_i p_i L_i,j over the index's chunked
+    # Lagrange commitments, with kimchi's blinder-1 H offset riding on
+    # chunk 0 only. Double-and-add is <1% of the main MSM's work; one
+    # Fermat inversion normalizes all chunks to affine for the sponge.
     hint_wf = jnp.asarray(True)
     if npub and pub_comm_hint is not None:
         # untrusted host hint, bound via extra MSM rows (see below).
         # The w^2 binding argument only covers VALUE-level wrongness of a
         # well-formed point: out-of-range limbs break ffl's int32 bound
-        # invariants and off-curve points make the point formulas
+        # invariants and off-curve points make the RCB formulas
         # non-group, so well-formedness is checked here and folded into
         # the verdict: canonical 13-bit limbs (canon round-trip detects
         # values >= p) and y^2 == x^3 + b over the base field.
         fb = curve.base
         limb_ok = jnp.all((pub_comm_hint >= 0) & (pub_comm_hint < (1 << 13)))
-        xr = ffl.from_canon(pub_comm_hint[:, 0])
-        yr = ffl.from_canon(pub_comm_hint[:, 1])
+        xr = ffl.from_canon(pub_comm_hint[..., 0, :])  # (B, nc, L)
+        yr = ffl.from_canon(pub_comm_hint[..., 1, :])
         canon_ok = jnp.all(
-            jnp.stack([ffl.canon(fb, xr), ffl.canon(fb, yr)], axis=1)
+            jnp.stack([ffl.canon(fb, xr), ffl.canon(fb, yr)], axis=-2)
             == pub_comm_hint
         )
         lhs = ffl.canon(fb, ffl.square(fb, yr))
@@ -323,54 +371,72 @@ def verify(
         )
         curve_ok = jnp.all(lhs == ffl.canon(fb, x3b))
         hint_wf = limb_ok & canon_ok & curve_ok
-        pub_x = pub_comm_hint[:, 0]
-        pub_y = pub_comm_hint[:, 1]
+        pub_xs = [pub_comm_hint[:, j, 0] for j in range(nc)]
+        pub_ys = [pub_comm_hint[:, j, 1] for j in range(nc)]
     else:
-        if npub:
-            lag_pts = jc.from_affine(
-                curve,
-                ffl.from_canon(index.lagrange_comm[:, 0]),
-                ffl.from_canon(index.lagrange_comm[:, 1]),
-            )  # (npub, 3, REP)
-            bits = (proofs.public[..., None] >> jnp.arange(13)) & 1
-            bits = bits.reshape(B, npub, -1)[..., ::-1]  # msb-first, 260 bits
-            pts = jnp.broadcast_to(lag_pts[None], (B,) + lag_pts.shape)
-            acc = jc.scalar_mul(curve, bits, pts)  # (B, npub, 3, REP)
-            pub_pt = acc[:, 0]
-            for i in range(1, npub):
-                pub_pt = jc.add(curve, pub_pt, acc[:, i])
-        else:
-            pub_pt = jc.identity(curve, (B,))
+        lag_all = jnp.asarray(index.lagrange_comm)  # (npub1, nc, 2, NLIMBS)
         h_rep = jc.from_affine(
             curve,
             ffl.from_canon(index.h_affine[0]),
             ffl.from_canon(index.h_affine[1]),
         )
-        pub_pt = jc.add(curve, pub_pt, jnp.broadcast_to(h_rep, pub_pt.shape))
-        zinv = ffl.inv(curve.base, pub_pt[..., 2, :])
-        pub_x = ffl.canon(curve.base, ffl.mul(curve.base, pub_pt[..., 0, :], zinv))
-        pub_y = ffl.canon(curve.base, ffl.mul(curve.base, pub_pt[..., 1, :], zinv))
-    ops += [("absorb", pub_x), ("absorb", pub_y)]
-    for i in range(COLUMNS):
+        chunk_pts = []
+        for j in range(nc):
+            if npub:
+                lag_pts = jc.from_affine(
+                    curve,
+                    ffl.from_canon(lag_all[:, j, 0]),
+                    ffl.from_canon(lag_all[:, j, 1]),
+                )  # (npub, 3, REP)
+                bits = (proofs.public[..., None] >> jnp.arange(13)) & 1
+                bits = bits.reshape(B, npub, -1)[..., ::-1]  # msb-first
+                pts = jnp.broadcast_to(lag_pts[None], (B,) + lag_pts.shape)
+                acc = jc.scalar_mul(curve, bits, pts)  # (B, npub, 3, REP)
+                pub_pt = acc[:, 0]
+                for i in range(1, npub):
+                    pub_pt = jc.add(curve, pub_pt, acc[:, i])
+            else:
+                pub_pt = jc.identity(curve, (B,))
+            if j == 0:
+                pub_pt = jc.add(
+                    curve, pub_pt, jnp.broadcast_to(h_rep, pub_pt.shape)
+                )
+            chunk_pts.append(pub_pt)
+        stacked = jnp.stack(chunk_pts, axis=1)  # (B, nc, 3, REP)
+        zinv = ffl.inv(curve.base, stacked[..., 2, :])
+        xs_c = ffl.canon(
+            curve.base, ffl.mul(curve.base, stacked[..., 0, :], zinv)
+        )
+        ys_c = ffl.canon(
+            curve.base, ffl.mul(curve.base, stacked[..., 1, :], zinv)
+        )
+        pub_xs = [xs_c[:, j] for j in range(nc)]
+        pub_ys = [ys_c[:, j] for j in range(nc)]
+    for j in range(nc):
+        ops += [("absorb", pub_xs[j]), ("absorb", pub_ys[j])]
+    for i in range(COLUMNS * nc):
         ops += [
             ("absorb", proofs.w_comm[:, i, 0]),
             ("absorb", proofs.w_comm[:, i, 1]),
         ]
-    ops += [
-        ("absorb", proofs.rt_comm[:, 0]),
-        ("absorb", proofs.rt_comm[:, 1]),
-    ]
+    for j in range(nc):
+        ops += [
+            ("absorb", proofs.rt_comm[:, j, 0]),
+            ("absorb", proofs.rt_comm[:, j, 1]),
+        ]
     ops += [("squeeze",)]  # joint combiner (endo)
-    for q in range(NSORTED):
+    for q in range(NSORTED * nc):
         ops += [
             ("absorb", proofs.s_comm[:, q, 0]),
             ("absorb", proofs.s_comm[:, q, 1]),
         ]
     ops += [("squeeze",), ("squeeze",)]  # beta, gamma (perm + lookup)
-    ops += [("absorb", proofs.z_comm[:, 0]), ("absorb", proofs.z_comm[:, 1])]
-    ops += [("absorb", proofs.zl_comm[:, 0]), ("absorb", proofs.zl_comm[:, 1])]
+    for j in range(nc):
+        ops += [("absorb", proofs.z_comm[:, j, 0]), ("absorb", proofs.z_comm[:, j, 1])]
+    for j in range(nc):
+        ops += [("absorb", proofs.zl_comm[:, j, 0]), ("absorb", proofs.zl_comm[:, j, 1])]
     ops += [("squeeze",)]  # alpha
-    for i in range(T_CHUNKS):
+    for i in range(T_CHUNKS * nc):
         ops += [
             ("absorb", proofs.t_comm[:, i, 0]),
             ("absorb", proofs.t_comm[:, i, 1]),
@@ -386,8 +452,40 @@ def verify(
     ]
     fq_digest = sq[5]  # canonical base-field limbs
 
+    mul = lambda a, b: ffl.mul(fs, a, b)
+    add = lambda a, b: ffl.add(fs, a, b)
+    sub = lambda a, b: ffl.sub(fs, a, b)
+
+    # zeta^n by repeated squaring, capturing zeta^N on the way (N = the
+    # SRS chunk size; zeta^n = (zeta^N)^nc since nc is a power of two)
+    logN = index.log_n - (nc.bit_length() - 1)
+    zn = zeta
+    zN = zeta if logN == 0 else None
+    for s_i in range(index.log_n):
+        zn = ffl.square(fs, zn)
+        if s_i + 1 == logN:
+            zN = zn
+    one = jnp.broadcast_to(ffl.ones(fs), zeta.shape).astype(jnp.int32)
+    zh = sub(zn, one)  # Z_H(zeta)
+    zeta_w = mul(zeta, jnp.asarray(index.omega_rep)[None])
+
     # ---- scalar identity pieces at zeta (opened evals) ----
-    ev = ffl.from_canon(proofs.evals)  # (B, 48, 2, L)
+    # chunk-combine: f(y) = sum_j y^(N j) e_j(y) per opened polynomial;
+    # (zeta*omega)^N = zeta^N * omega^N with omega^N an nc-th root of 1.
+    ev_flat = ffl.from_canon(proofs.evals)  # (B, 56*nc, 2, L)
+    if nc > 1:
+        zwN = mul(zN, jnp.asarray(index.omega_chunk_rep)[None])
+        p0 = jnp.stack(ipa._powers(fs, zN, nc))  # (nc, B, L)
+        p1 = jnp.stack(ipa._powers(fs, zwN, nc))
+        wts = jnp.moveaxis(jnp.stack([p0, p1], axis=1), 2, 0)  # (B,nc,2,L)
+        evg = ev_flat.reshape(B, N_OPENED, nc, 2, ffl.REP_LIMBS)
+        terms = mul(evg, wts[:, None])  # (B, 56, nc, 2, L)
+        ev = terms[:, :, 0]
+        for j in range(1, nc):
+            ev = add(ev, terms[:, :, j])
+    else:
+        zwN = zn
+        ev = ev_flat
     off = 0
     w_z = [ev[:, i, 0] for i in range(COLUMNS)]
     w_zw = [ev[:, i, 1] for i in range(COLUMNS)]
@@ -410,19 +508,6 @@ def verify(
     qlk_z = ev[:, off + 2, 0]
     rt_z = ev[:, off + 3, 0]
     rtsel_z = ev[:, off + 4, 0]
-
-    mul = lambda a, b: ffl.mul(fs, a, b)
-    add = lambda a, b: ffl.add(fs, a, b)
-    sub = lambda a, b: ffl.sub(fs, a, b)
-
-    # zeta^n by repeated squaring (log_n squarings)
-    zn = zeta
-    for _ in range(index.log_n):
-        zn = ffl.square(fs, zn)
-    one = jnp.broadcast_to(ffl.ones(fs), zeta.shape).astype(jnp.int32)
-    zh = sub(zn, one)  # Z_H(zeta)
-
-    zeta_w = mul(zeta, jnp.asarray(index.omega_rep)[None])
 
     # Lagrange evals L_i(x) = omega^i * Z_H(x) / (n * (x - omega^i)) at
     # both opening points; Z_H(zeta*omega) = Z_H(zeta) since omega^n = 1.
@@ -457,19 +542,48 @@ def verify(
         all_inv[-2],
         all_inv[-1],
     )
+    # per-chunk public openings via the closed-form chunk Lagrange eval
+    # (L_i)_j(y) = A_ij (y^N - omega^(iN)) / (n (y - omega^i)) — for
+    # nc == 1 this reduces to the familiar omega^i Z_H(y)/(n (y-omega^i))
+    pub_chunk_evs = [
+        (ffl.zeros(fs, (B,)), ffl.zeros(fs, (B,))) for _ in range(nc)
+    ]
     if npub:
-        for i in range(npub):
-            pv = ffl.from_canon(proofs.public[:, i])
-            li = mul(
-                mul(mul(dens_inv[i], zh), omega_pows[i][None]),
-                n_inv[None],
-            )
-            pub_eval = add(pub_eval, mul(li, pv))
-            li_w = mul(
-                mul(mul(dens_inv[npub + i], zh), omega_pows[i][None]),
-                n_inv[None],
-            )
-            pub_eval_w = add(pub_eval_w, mul(li_w, pv))
+        lag_a = jnp.asarray(index.lag_chunk_a_rep)  # (npub, nc, L)
+        om_iN = jnp.asarray(index.omega_iN_rep)  # (npub, L)
+        num0 = sub(
+            jnp.broadcast_to(zN[None], (npub,) + zN.shape).astype(jnp.int32),
+            om_iN[:, None],
+        )  # (npub, B, L)
+        num1 = sub(
+            jnp.broadcast_to(zwN[None], (npub,) + zwN.shape).astype(jnp.int32),
+            om_iN[:, None],
+        )
+        for j in range(nc):
+            ez = ffl.zeros(fs, (B,))
+            ew = ffl.zeros(fs, (B,))
+            for i in range(npub):
+                pv = ffl.from_canon(proofs.public[:, i])
+                li = mul(
+                    mul(mul(dens_inv[i], num0[i]), lag_a[i, j][None]),
+                    n_inv[None],
+                )
+                ez = add(ez, mul(li, pv))
+                li_w = mul(
+                    mul(mul(dens_inv[npub + i], num1[i]), lag_a[i, j][None]),
+                    n_inv[None],
+                )
+                ew = add(ew, mul(li_w, pv))
+            pub_chunk_evs[j] = (ez, ew)
+        # combined (full-polynomial) public evals for the gate identity
+        if nc > 1:
+            zNj0 = ipa._powers(fs, zN, nc)
+            zNj1 = ipa._powers(fs, zwN, nc)
+            for j in range(nc):
+                pub_eval = add(pub_eval, mul(zNj0[j], pub_chunk_evs[j][0]))
+                pub_eval_w = add(pub_eval_w, mul(zNj1[j], pub_chunk_evs[j][1]))
+        else:
+            pub_eval, pub_eval_w = pub_chunk_evs[0]
 
     # gate constraints via the shared expressions (device field ops)
     from ..fields.params import FP, FQ
@@ -583,25 +697,31 @@ def verify(
         S = add(S, mul(alpha_pows[ALPHA_LOOKUP + 3 + q], lk_overlaps[q]))
     S = add(S, mul(alpha_pows[ALPHA_LOOKUP + 3 + NSORTED - 1], lk_rt))
     ft0 = ffl.neg(fs, S)
-    # ft's t-chunk coefficients: -Z_H(zeta) * zeta^(n i)
+    # ft's t-chunk coefficients -Z_H(zeta) zeta^(N i) and sigma6-chunk
+    # coefficients perm_ft zeta^(N j): the zeta-collapse of the chunked
+    # linearization (prover_host.linearization_ft)
     t_scales = []
     zp = jnp.broadcast_to(ffl.ones(fs), zeta.shape).astype(jnp.int32)
-    for i in range(T_CHUNKS):
+    for i in range(T_CHUNKS * nc):
         t_scales.append(ffl.neg(fs, mul(zh, zp)))
-        if i + 1 < T_CHUNKS:
-            zp = mul(zp, zn)
+        if i + 1 < T_CHUNKS * nc:
+            zp = mul(zp, zN)
+    sigma6_scales = [perm_ft]
+    for j in range(1, nc):
+        sigma6_scales.append(mul(sigma6_scales[-1], zN))
 
     # ---- FR transcript: evaluations bind in the scalar field ----
     frops: list = [("absorb", ffl.canon(fs, ffl.from_canon(fq_digest)))]
     for r in range(R):
         for j in range(kk):
             frops.append(("absorb", proofs.prev_chals[:, r, j]))
-    frops += [
-        ("absorb", ffl.canon(fs, pub_eval)),
-        ("absorb", ffl.canon(fs, pub_eval_w)),
-        ("absorb", proofs.ft_eval1),
-    ]
-    for i in range(N_OPENED):
+    for ez, ew in pub_chunk_evs:
+        frops += [
+            ("absorb", ffl.canon(fs, ez)),
+            ("absorb", ffl.canon(fs, ew)),
+        ]
+    frops += [("absorb", proofs.ft_eval1)]
+    for i in range(N_OPENED * nc):
         frops += [
             ("absorb", proofs.evals[:, i, 0]),
             ("absorb", proofs.evals[:, i, 1]),
@@ -615,40 +735,44 @@ def verify(
     eval_points = jnp.stack(
         [ffl.canon(fs, zeta), ffl.canon(fs, zeta_w)], axis=1
     )  # (B, 2, 20)
-    n_idx = index.index_comms.shape[0]
-    idx_comms = jnp.broadcast_to(
-        jnp.asarray(index.index_comms)[None], (B, n_idx, 2, NLIMBS)
-    )
-    # order must match prover_host: [prev accumulators], public, ft, w,
-    # z, sigma6+coeff+sel (index), s0..s4, zl, t_joint, qlk, rt, rt_sel.
-    # public/ft/t_joint slots hold the identity; their real contributions
-    # enter as virtual rows (linear combinations of L_i / sigma6 / t /
-    # table-column points).
-    zero_rows = jnp.zeros((B, 2, 2, NLIMBS), jnp.int32)
-    tj_zero = jnp.zeros((B, 1, 2, NLIMBS), jnp.int32)
+    # index_comms (37, nc, 2, L) flattened to [entry][chunk] rows
+    idx_flat = jnp.asarray(index.index_comms).reshape(-1, 2, NLIMBS)
+    n_idx = idx_flat.shape[0]
+    idx_comms = jnp.broadcast_to(idx_flat[None], (B, n_idx, 2, NLIMBS))
+    # order must match prover_host: [prev accumulators], public chunks,
+    # ft, then per-chunk rows of w, z, sigma0-5+coeff+sel (index),
+    # s0..s4, zl, t_joint, qlk, rt, rt_sel. public/ft/t_joint slots hold
+    # the identity; their real contributions enter as virtual rows
+    # (linear combinations of L_i / sigma6 / t / table-column points).
+    zero_rows = jnp.zeros((B, nc + 1, 2, NLIMBS), jnp.int32)
+    tj_zero = jnp.zeros((B, nc, 2, NLIMBS), jnp.int32)
     n_sel = len(G.GATE_ORDER)
     commitments = jnp.concatenate(
         ([proofs.prev_sg] if R else [])
         + [
             zero_rows,
             proofs.w_comm,
-            proofs.z_comm[:, None],
-            idx_comms[:, : PERMUTS - 1],
-            idx_comms[:, PERMUTS : PERMUTS + COEFFS + n_sel],
+            proofs.z_comm,
+            idx_comms[:, : (PERMUTS - 1) * nc],
+            idx_comms[:, PERMUTS * nc : (PERMUTS + COEFFS + n_sel) * nc],
             proofs.s_comm,
-            proofs.zl_comm[:, None],
+            proofs.zl_comm,
             tj_zero,
-            idx_comms[:, -1:],  # q_lookup
-            proofs.rt_comm[:, None],
-            idx_comms[:, -2:-1],  # rt_sel
+            idx_comms[:, -nc:],  # q_lookup chunks
+            proofs.rt_comm,
+            idx_comms[:, -2 * nc : -nc],  # rt_sel chunks
         ],
         axis=1,
-    )  # (B, R + 2 + 56, 2, NLIMBS)
-    pub_row = jnp.stack(
-        [ffl.canon(fs, pub_eval), ffl.canon(fs, pub_eval_w)], axis=1
-    )[:, None]
+    )  # (B, R + (nc+1) + 56*nc, 2, NLIMBS)
+    pub_rows = jnp.stack(
+        [
+            jnp.stack([ffl.canon(fs, ez), ffl.canon(fs, ew)], axis=1)
+            for ez, ew in pub_chunk_evs
+        ],
+        axis=1,
+    )  # (B, nc, 2, NLIMBS)
     ft_row = jnp.stack([ffl.canon(fs, ft0), proofs.ft_eval1], axis=1)[:, None]
-    front = [pub_row, ft_row]
+    front = [pub_rows, ft_row]
     if R:
         # verifier-computed accumulator rows: b_poly(chals, .) at
         # (zeta, zeta*omega); opening them against sg decides the
@@ -668,39 +792,52 @@ def verify(
         front = [ffl.canon(fs, bval)] + front
     evals_all = jnp.concatenate(front + [proofs.evals], axis=1)
 
-    # virtual rows: public = sum_i p_i L_i; ft = perm_ft sigma6 + t part;
-    # t_joint = col0 + j (col1 + rt) + j^2 col2 + j^3 ids
-    lag = jnp.asarray(index.lagrange_comm)
+    # virtual rows: public chunk j = sum_i p_i L_i,j; ft = the
+    # zeta-collapsed perm_ft*sigma6 + t part; t_joint chunk j =
+    # col0_j + joint (col1_j + rt_j) + joint^2 col2_j + joint^3 ids_j
+    lag = jnp.asarray(index.lagrange_comm)  # (npub1, nc, 2, NLIMBS)
+    idx_all = jnp.asarray(index.index_comms)  # (37, nc, 2, NLIMBS)
     virtual = []
-    for i in range(npub):
-        virtual.append((R + 0, lag[i], ffl.from_canon(proofs.public[:, i])))
-    sigma6_comm = jnp.asarray(index.index_comms)[PERMUTS - 1]
-    virtual.append((R + 1, sigma6_comm, perm_ft))
-    for i in range(T_CHUNKS):
-        virtual.append((R + 1, proofs.t_comm[:, i], t_scales[i]))
-    tj_row = R + 2 + COLUMNS + 1 + (PERMUTS - 1) + COEFFS + n_sel + NSORTED + 1
-    tcol0 = PERMUTS + COEFFS + n_sel  # index_comms offset of table col0
-    idx_all = jnp.asarray(index.index_comms)
+    for j in range(nc):
+        for i in range(npub):
+            virtual.append(
+                (R + j, lag[i, j], ffl.from_canon(proofs.public[:, i]))
+            )
+    ft_idx = R + nc
+    for j in range(nc):
+        virtual.append((ft_idx, idx_all[PERMUTS - 1, j], sigma6_scales[j]))
+    for i in range(T_CHUNKS * nc):
+        virtual.append((ft_idx, proofs.t_comm[:, i], t_scales[i]))
+    # opened rows after ft: w(15) z(1) sigma(6) coeff(15) sel(9) s(5)
+    # zl(1) = 52 polys, each nc chunk rows, then the t_joint chunk rows
+    tj_row0 = R + nc + 1 + (COLUMNS + 1 + (PERMUTS - 1) + COEFFS + n_sel + NSORTED + 1) * nc
+    tcol0 = PERMUTS + COEFFS + n_sel  # index_comms entry of table col0
     one_sc = jnp.broadcast_to(ffl.ones(fs), zeta.shape).astype(jnp.int32)
-    virtual.append((tj_row, idx_all[tcol0], one_sc))
-    virtual.append((tj_row, idx_all[tcol0 + 1], joint))
-    virtual.append((tj_row, proofs.rt_comm, joint))
-    virtual.append((tj_row, idx_all[tcol0 + 2], j2))
-    virtual.append((tj_row, idx_all[tcol0 + 3], j_pows[3]))
+    for j in range(nc):
+        virtual.append((tj_row0 + j, idx_all[tcol0, j], one_sc))
+        virtual.append((tj_row0 + j, idx_all[tcol0 + 1, j], joint))
+        virtual.append((tj_row0 + j, proofs.rt_comm[:, j], joint))
+        virtual.append((tj_row0 + j, idx_all[tcol0 + 2, j], j2))
+        virtual.append((tj_row0 + j, idx_all[tcol0 + 3, j], j_pows[3]))
 
-    # hint binding: w^2 * (sum_i p_i L_i + H - hint) folds into the MSM.
-    # w^2 is a monomial no other row's coefficient carries, so a nonzero
-    # hint defect survives the random combination w.h.p.
+    # hint binding: w^2 v^j * (sum_i p_i L_i,j (+H at j=0) - hint_j)
+    # folds into the MSM. w^2 is a monomial no other row's coefficient
+    # carries and v separates the chunks, so a nonzero hint defect
+    # survives the random combination w.h.p.
     extra_pairs = []
     if npub and pub_comm_hint is not None:
         w_rep = ffl.from_canon(rand_weights[:, 0])
         wsq = ffl.mul(fs, w_rep, w_rep)  # (B, L)
-        for i in range(npub):
-            extra_pairs.append(
-                (lag[i], ffl.mul(fs, wsq, ffl.from_canon(proofs.public[:, i])))
-            )
-        extra_pairs.append((jnp.asarray(index.h_affine), wsq))
-        extra_pairs.append((pub_comm_hint, ffl.neg(fs, wsq)))
+        wv = ipa._powers(fs, v, nc) if nc > 1 else None
+        for j in range(nc):
+            wj = wsq if j == 0 else ffl.mul(fs, wsq, wv[j])
+            for i in range(npub):
+                extra_pairs.append(
+                    (lag[i, j], ffl.mul(fs, wj, ffl.from_canon(proofs.public[:, i])))
+                )
+            if j == 0:
+                extra_pairs.append((jnp.asarray(index.h_affine), wj))
+            extra_pairs.append((pub_comm_hint[:, j], ffl.neg(fs, wj)))
 
     openings = ipa.DeviceOpenings(
         commitments=commitments,
@@ -732,28 +869,34 @@ def verify(
 def host_public_commitments(
     index: DeviceVerifierIndex, publics: "list[list[int]]"
 ) -> jax.Array:
-    """(B, 2, NLIMBS) canonical affine hints sum_i p_i L_i + H for
+    """(B, nc, 2, NLIMBS) canonical affine hints: chunk j of the blinded
+    public commitment sum_i p_i L_i,j (+H on chunk 0), for
     verify(pub_comm_hint=...). Host big-int arithmetic (~ms); the device
-    re-binds the claim inside the batched MSM, so the hint is untrusted."""
+    re-binds the claims inside the batched MSM, so hints are untrusted."""
     import numpy as np
 
     from ..curves import host as hc
     from ..fields.params import limbs_to_int
 
     curve = index.curve
-    lag = np.asarray(index.lagrange_comm)
+    nc = index.nc
+    lag = np.asarray(index.lagrange_comm)  # (npub1, nc, 2, NLIMBS)
     h_aff = np.asarray(index.h_affine)
     lag_pts = [
-        (limbs_to_int(lag[i, 0]), limbs_to_int(lag[i, 1]))
+        [
+            (limbs_to_int(lag[i, j, 0]), limbs_to_int(lag[i, j, 1]))
+            for j in range(nc)
+        ]
         for i in range(lag.shape[0])
     ]
     h_pt = (limbs_to_int(h_aff[0]), limbs_to_int(h_aff[1]))
-    out = np.zeros((len(publics), 2, NLIMBS), np.int32)
+    out = np.zeros((len(publics), nc, 2, NLIMBS), np.int32)
     for b, pubs in enumerate(publics):
-        acc = h_pt
-        for p_i, L_i in zip(pubs, lag_pts):
-            acc = hc.add(curve, acc, hc.mul(curve, int(p_i), L_i))
-        assert acc is not None, "public commitment is the identity"
-        out[b, 0] = int_to_limbs(acc[0], NLIMBS)
-        out[b, 1] = int_to_limbs(acc[1], NLIMBS)
+        for j in range(nc):
+            acc = h_pt if j == 0 else None
+            for p_i, L_i in zip(pubs, lag_pts):
+                acc = hc.add(curve, acc, hc.mul(curve, int(p_i), L_i[j]))
+            assert acc is not None, "public commitment chunk is the identity"
+            out[b, j, 0] = int_to_limbs(acc[0], NLIMBS)
+            out[b, j, 1] = int_to_limbs(acc[1], NLIMBS)
     return jnp.asarray(out)

@@ -95,6 +95,41 @@ def test_lagrange_chunk_eval_closed_form():
             assert direct == closed, (i, j)
 
 
+def test_chunked_device_verify(chunked_proof):
+    """The DEVICE verifier accepts chunked proofs (batched, one MSM) and
+    rejects a tampered chunk opening — exercising the chunk-combine,
+    chunked transcript, chunked virtual rows and the chunked public
+    hint path end-to-end at toy size."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from mina_bridge_tpu.kimchi import verifier as kv
+    from tests.test_kimchi_device import rand_weights
+
+    curve, circuit, index, g, h, pr = chunked_proof
+    dindex = kv.DeviceVerifierIndex.from_host(index, g, h)
+    assert dindex.nc == index.chunks > 1
+    dproofs = kv.DeviceProofs.from_host([pr, pr])
+    rw = rand_weights(curve, 2)
+    assert bool(kv.verify(dindex, dproofs, rw))
+
+    # hinted public-commitment path (the serving-path fast lane)
+    hint = kv.host_public_commitments(dindex, [pr.public, pr.public])
+    assert bool(kv.verify(dindex, dproofs, rw, pub_comm_hint=hint))
+
+    # tampered high-chunk opening of w_0 must be rejected
+    bad = dataclasses.replace(
+        dproofs, evals=dproofs.evals.at[0, 1, 0, 0].add(1)
+    )
+    assert not bool(kv.verify(dindex, bad, rw))
+    # tampered high chunk of a witness commitment must be rejected
+    bad2 = dataclasses.replace(
+        dproofs, w_comm=dproofs.w_comm.at[1, 1, 0, 0].add(1)
+    )
+    assert not bool(kv.verify(dindex, bad2, rw))
+
+
 def test_combine_chunk_evals_identity():
     """Combined chunk openings equal the full-polynomial evaluations."""
     fs = PALLAS.scalar

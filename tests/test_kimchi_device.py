@@ -100,12 +100,12 @@ def test_device_verify_with_public_hint(proven):
     from mina_bridge_tpu.curves import host as hc
     from mina_bridge_tpu.fields.params import NLIMBS, int_to_limbs, limbs_to_int
 
-    hint_np = np.asarray(hint)
+    hint_np = np.asarray(hint)  # (B, nc, 2, NLIMBS)
     wrong = hint_np.copy()
-    pt = (limbs_to_int(hint_np[0, 0]), limbs_to_int(hint_np[0, 1]))
+    pt = (limbs_to_int(hint_np[0, 0, 0]), limbs_to_int(hint_np[0, 0, 1]))
     dbl = hc.add(curve, pt, pt)
-    wrong[0, 0] = int_to_limbs(dbl[0], NLIMBS)
-    wrong[0, 1] = int_to_limbs(dbl[1], NLIMBS)
+    wrong[0, 0, 0] = int_to_limbs(dbl[0], NLIMBS)
+    wrong[0, 0, 1] = int_to_limbs(dbl[1], NLIMBS)
     assert not bool(
         verifier.verify(dindex, dproofs, rw, pub_comm_hint=jnp.asarray(wrong))
     )
@@ -114,16 +114,16 @@ def test_device_verify_with_public_hint(proven):
     # rejected by the well-formedness gate, not rely on the value binding:
     # (a) off-curve point: y bumped by 1 — same limb ranges, not on curve
     off = hint_np.copy()
-    y1 = (limbs_to_int(hint_np[0, 1]) + 1) % curve.base.p
-    off[0, 1] = int_to_limbs(y1, NLIMBS)
+    y1 = (limbs_to_int(hint_np[0, 0, 1]) + 1) % curve.base.p
+    off[0, 0, 1] = int_to_limbs(y1, NLIMBS)
     assert not bool(
         verifier.verify(dindex, dproofs, rw, pub_comm_hint=jnp.asarray(off))
     )
     # (b) out-of-range limbs encoding the same residue: adds p to x via
     # limb 0 — violates the canonical 13-bit bound invariant
     oob = hint_np.copy()
-    oob[0, 0, 0] += 1 << 13
-    oob[0, 0, 1] -= 1  # keep a plausible-looking array, limb 0 overflows
+    oob[0, 0, 0, 0] += 1 << 13
+    oob[0, 0, 0, 1] -= 1  # keep a plausible-looking array, limb 0 overflows
     assert not bool(
         verifier.verify(dindex, dproofs, rw, pub_comm_hint=jnp.asarray(oob))
     )
