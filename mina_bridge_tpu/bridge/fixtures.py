@@ -109,7 +109,40 @@ def make_chain(
     return states, tip_state
 
 
-def make_state_proof(rng, tip_proof_bytes: bytes = b""):
+def dummy_tip_doc() -> dict:
+    """A structurally-valid TIP_PROOF wire value with zeroed content —
+    for envelope tests that never device-verify the tip (those prove a
+    real tip via pickles.prove_tip and pass it alongside)."""
+    pt = ("Infinity", [])
+    return {
+        "statement": {"step_acc_chals": [], "step_acc_sg": pt},
+        "proof": {
+            "public": [],
+            "prev_challenges": [],
+            "commitments": {
+                "w_comm": [],
+                "z_comm": [pt],
+                "s_comm": [],
+                "rt_comm": [pt],
+                "zl_comm": [pt],
+                "t_comm": [],
+            },
+            "evals": [],
+            "ft_eval1": 0,
+            "opening": {
+                "lr": [],
+                "delta": pt,
+                "z1": 0,
+                "z2": 0,
+                "sg": pt,
+                "chals": [],
+                "u_hints": {"sel": 0, "y": 0, "w0": 0, "w1": 0, "alpha": 0},
+            },
+        },
+    }
+
+
+def make_state_proof(rng, tip_doc: dict | None = None):
     states, tip_state = make_chain(rng)
     cand_hashes = [pm.host_full_state_hash(s) for s in states]
     ledgers = [
@@ -121,7 +154,7 @@ def make_state_proof(rng, tip_proof_bytes: bytes = b""):
         candidate_chain_ledger_hashes=ledgers,
     )
     proof = pm.MinaStateProof(
-        candidate_tip_proof=tip_proof_bytes,
+        candidate_tip_proof=tip_doc if tip_doc is not None else dummy_tip_doc(),
         candidate_chain_states=[mt.PROTOCOL_STATE.encode(s) for s in states],
         bridge_tip_state=mt.PROTOCOL_STATE.encode(tip_state),
     )

@@ -161,8 +161,13 @@ def get_mina_proof_of_state(
         candidate_chain_state_hashes=cand_hashes,
         candidate_chain_ledger_hashes=ledgers,
     )
+    from .pickles_wire import TIP_PROOF
+
     proof = pm.MinaStateProof(
-        candidate_tip_proof=tip_proof,
+        # binprot-decode the fetched blob NOW (reference mina.rs:240-248
+        # decodes MinaBaseProofStableV2 at acquisition time): a proof a
+        # node serves must parse before it enters the envelope
+        candidate_tip_proof=TIP_PROOF.decode(tip_proof),
         candidate_chain_states=states,
         bridge_tip_state=bridge_tip_state,
     )

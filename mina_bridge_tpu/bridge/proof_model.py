@@ -37,8 +37,13 @@ STATE_PUB_INPUTS = bp.Record(
     ("candidate_chain_ledger_hashes", bp.List(bp.Field())),
 )
 
+from .pickles_wire import TIP_PROOF  # MinaBaseProofStableV2 counterpart
+
 STATE_PROOF = bp.Record(
-    ("candidate_tip_proof", bp.Bytes()),  # serialized kimchi/pickles proof
+    # the candidate tip's Pickles proof, STRUCTURED on the wire (the
+    # reference decodes MinaBaseProofStableV2 here, core/src/mina.rs:
+    # 235-248; layout in bridge/pickles_wire.py, PARITY D12)
+    ("candidate_tip_proof", TIP_PROOF),
     ("candidate_chain_states", bp.List(bp.Bytes())),
     ("bridge_tip_state", bp.Bytes()),
 )
@@ -70,7 +75,7 @@ class MinaStatePubInputs:
 
 @dataclasses.dataclass
 class MinaStateProof:
-    candidate_tip_proof: bytes
+    candidate_tip_proof: dict  # TIP_PROOF wire value (pickles_wire)
     candidate_chain_states: list[bytes]
     bridge_tip_state: bytes
 
@@ -80,6 +85,13 @@ class MinaStateProof:
     @classmethod
     def decode(cls, data: bytes) -> "MinaStateProof":
         return cls(**STATE_PROOF.decode(data))
+
+    def tip_proof(self):
+        """Decode the envelope's tip proof into a pickles.TipProof —
+        the path a proof fetched from a real node takes onto device."""
+        from .pickles_wire import tip_from_doc
+
+        return tip_from_doc(self.candidate_tip_proof)
 
 
 @dataclasses.dataclass

@@ -57,15 +57,23 @@ class BridgeSdk:
 
     # --- update_bridge_chain (sdk.rs:81-131) ---
     def update_bridge_chain(
-        self, bridge_tip_state: bytes, tip_proof_host
+        self, bridge_tip_state: bytes, tip_proof_host=None
     ) -> bool:
         """Returns False when the candidate tip is already bridged.
         Verifier randomness is the service's own (OS entropy, sampled
-        after proof receipt) — never caller-supplied on this path."""
+        after proof receipt) — never caller-supplied on this path.
+
+        tip_proof_host: normally None — the tip proof is decoded from
+        the fetched envelope (proof.candidate_tip_proof, the
+        MinaBaseProofStableV2-counterpart wire blob the node served,
+        reference mina.rs:235-248). An explicit TipProof overrides it
+        for stand-in proving setups where the queried node has none."""
         pub, proof = mg.get_mina_proof_of_state(self.mina, bridge_tip_state)
         if self.is_state_verified(pub.candidate_chain_state_hashes[-1]):
             log.info("Latest chain is already verified")
             return False
+        if tip_proof_host is None:
+            tip_proof_host = proof.tip_proof()
         self.service.submit_state(pub, proof, tip_proof_host)
         (vd,) = self.service.finalize_batch()
         self.state_contract.update_chain(

@@ -24,8 +24,15 @@ def world():
     tip_hash = pm.host_full_state_hash(tip_state)
     state_blobs = [mt.PROTOCOL_STATE.encode(s) for s in states]
 
+    # the node serves the candidate tip's Pickles proof as a binprot
+    # blob (MinaBaseProofStableV2 counterpart, bridge/pickles_wire.py);
+    # the SDK decodes it from the envelope — no out-of-band tip proof
+    from mina_bridge_tpu.bridge import pickles_wire as pw
+    from mina_bridge_tpu.pickles import verifier as pickles
+
+    tip_proof = pickles.prove_tip(pm.host_full_state_hash(states[-1]))
     eth_node = MockEthNode(root_state_hash=tip_hash)
-    mina_node = MockMinaNode(state_blobs)
+    mina_node = MockMinaNode(state_blobs, pw.encode_tip_proof(tip_proof))
 
     wallet = ethmod.Wallet(0xA11CE)
     eth = ethmod.EthClient(eth_node, chain_id=31337, wallet=wallet)
@@ -46,14 +53,14 @@ def world():
 
 def test_submit_state_e2e(world):
     rng, states, tip_state, eth_node, mina_node, sdk = world
-    from mina_bridge_tpu.pickles import verifier as pickles
 
     cand_tip_hash = pm.host_full_state_hash(states[-1])
-    tip_proof = pickles.prove_tip(cand_tip_hash)
     tip_bytes = mt.PROTOCOL_STATE.encode(tip_state)
 
-    # no rand_weights: exercises the service's own OS-entropy sampling
-    updated = sdk.update_bridge_chain(tip_bytes, tip_proof)
+    # no tip_proof argument: the SDK decodes it from the node-served
+    # envelope (wire codec round-trip onto device); no rand_weights:
+    # exercises the service's own OS-entropy sampling
+    updated = sdk.update_bridge_chain(tip_bytes)
     assert updated
     # on-chain frontier now matches the candidate chain
     assert eth_node.state.state_hashes == [
