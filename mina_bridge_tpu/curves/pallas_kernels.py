@@ -187,13 +187,29 @@ def padd_mixed_select_rows(c, p, q, keep_q_mask, q_inf_mask):
     return jnp.where(keep_q_mask[None, None, :] != 0, q, res)
 
 
+def padd_mixed_select2_rows(c, p, q2, keep_q_mask, q_inf_mask):
+    """padd_mixed_select_rows with a 2-ROW q operand (x, y only): the
+    mixed-add formulas never read q's Z, and its implicit value is
+    (1 - q_inf) (affine point or identity), synthesized here for the
+    keep-q branch. Carrying 2 rows instead of 3 through the sorted point
+    stream cuts a third of the MSM bucket phase's HBM traffic."""
+    added = padd_mixed_rows(c, p, q2)
+    res = jnp.where(q_inf_mask[None, None, :] != 0, p, added)
+    qz0 = (1 - q_inf_mask.astype(jnp.int32))[None, :]
+    qz = jnp.concatenate(
+        [qz0, jnp.zeros((q2.shape[1] - 1, q2.shape[2]), jnp.int32)], axis=0
+    )
+    qproj = jnp.concatenate([q2, qz[None]], axis=0)
+    return jnp.where(keep_q_mask[None, None, :] != 0, qproj, res)
+
+
 # ---------------------------------------------------------------------------
 # pallas_call wrappers (grid over the lane axis)
 # ---------------------------------------------------------------------------
 
-def _point_spec():
+def _point_spec(nrows: int = 3):
     return pl.BlockSpec(
-        (3, REP_LIMBS, BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        (nrows, REP_LIMBS, BLOCK), lambda i: (0, 0, i), memory_space=pltpu.VMEM
     )
 
 
@@ -235,7 +251,7 @@ def _pallas_apply(c: CurveSpec, body, pts, masks, npad):
 
     in_specs = (
         ([_cmat_spec()] if use_mat else [])
-        + [_point_spec()] * np_
+        + [_point_spec(p.shape[0]) for p in pts]  # 3-row proj or 2-row affine
         + [_mask_spec()] * nm
     )
     return pl.pallas_call(
@@ -309,6 +325,31 @@ def padd_mixed_select(c: CurveSpec, p, q, keep_q_mask, q_inf_mask):
         c,
         lambda pv, qv, mv, iv: padd_mixed_select_rows(c, pv, qv, mv, iv),
         (p2, q2),
+        (m2, i2),
+        npad,
+    )
+    return out[..., :n]
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def padd_mixed_select2(c: CurveSpec, p, q2, keep_q_mask, q_inf_mask):
+    """Fused mixed-add segmented combine with a 2-row (x, y) q operand
+    (see padd_mixed_select2_rows)."""
+    n = p.shape[-1]
+    if not use_pallas():
+        return padd_mixed_select2_rows(c, p, q2, keep_q_mask, q_inf_mask)
+    npad = -(-n // BLOCK) * BLOCK
+    p2, q2p = _pad_lanes(p, npad), _pad_lanes(q2, npad)
+    m2 = _pad_lanes(keep_q_mask.astype(jnp.int32), npad)
+    # padded lanes must not take the mixed-add path on zeroed q operands
+    i2 = _pad_lanes(q_inf_mask.astype(jnp.int32), npad)
+    if npad != n:
+        lane = jnp.arange(npad, dtype=jnp.int32)
+        i2 = jnp.where(lane >= n, 1, i2)
+    out = _pallas_apply(
+        c,
+        lambda pv, qv, mv, iv: padd_mixed_select2_rows(c, pv, qv, mv, iv),
+        (p2, q2p),
         (m2, i2),
         npad,
     )

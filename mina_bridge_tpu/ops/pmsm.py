@@ -67,6 +67,16 @@ def _padd_mixed_select(c, p, q, keep_q, q_inf):
     return pk.padd_mixed_select(c, pf, qf, mf, inff).reshape(p.shape)
 
 
+def _padd_mixed_select2(c, p, q2, keep_q, q_inf):
+    """Mixed-add combine with a 2-row (x, y) q stream."""
+    lanes = math.prod(p.shape[2:])
+    pf = p.reshape(3, REP_LIMBS, lanes)
+    qf = q2.reshape(2, REP_LIMBS, lanes)
+    mf = jnp.broadcast_to(keep_q, p.shape[2:]).reshape(lanes)
+    inff = jnp.broadcast_to(q_inf, p.shape[2:]).reshape(lanes)
+    return pk.padd_mixed_select2(c, pf, qf, mf, inff).reshape(p.shape)
+
+
 def _pdouble(c, p):
     lanes = math.prod(p.shape[2:])
     return pk.pdouble(c, p.reshape(3, REP_LIMBS, lanes)).reshape(p.shape)
@@ -152,10 +162,13 @@ def _searchsorted_right(sorted_wn: jax.Array, queries: jax.Array) -> jax.Array:
     return lo
 
 
-def bucket_sums_all_windows(c, pts_sorted, dig_sorted, G: int = 4096):
+def bucket_sums_all_windows(c, pts_sorted, inf_sorted, dig_sorted, G: int = 4096):
     """Per-digit point sums for all W windows at once (scatter-free).
 
-    pts_sorted: (3, L, W, N); dig_sorted: (W, N) ascending per window.
+    pts_sorted: (2, L, W, N) — x/y rows only (the implicit Z is carried
+    by inf_sorted: 1 at identity lanes, else affine Z=1 — dropping the
+    constant Z row cuts a third of the sorted stream's HBM traffic);
+    dig_sorted: (W, N) ascending per window.
     Returns buckets (3, L, W, NBUCKETS); bucket 0 is junk (ignored).
 
     The chunked segmented scan emits every running prefix; each bucket's
@@ -173,19 +186,17 @@ def bucket_sums_all_windows(c, pts_sorted, dig_sorted, G: int = 4096):
     ones = jnp.ones((W, 1), bool)
     seg_start = jnp.concatenate([ones, change], axis=-1).astype(jnp.int32)
 
-    pts_c = _to_chunks(pts_sorted, G)  # (T, 3, L, W, G)
+    pts_c = _to_chunks(pts_sorted, G)  # (T, 2, L, W, G)
     ss_c = _to_chunks(seg_start, G)
-    # q operands are affine inputs (Z row exactly 0 or 1): the scan rides
-    # the cheaper mixed add, with identity q lanes masked to keep carry.
-    qinf_c = _to_chunks(
-        (pts_sorted[2, 0] == 0).astype(jnp.int32), G
-    )  # (T, W, G)
+    # q operands are affine inputs: the scan rides the cheaper mixed add,
+    # with identity q lanes masked to keep the carry.
+    qinf_c = _to_chunks(inf_sorted.astype(jnp.int32), G)  # (T, W, G)
 
     ident = _ident(c, (W, G))
 
     def body(carry, inp):
         pts_t, ss_t, qinf_t = inp
-        acc = _padd_mixed_select(c, carry, pts_t, ss_t, qinf_t)
+        acc = _padd_mixed_select2(c, carry, pts_t, ss_t, qinf_t)
         return acc, acc
 
     carry_out, vals = jax.lax.scan(body, ident, (pts_c, ss_c, qinf_c))
@@ -344,7 +355,12 @@ def msm_rows(
         orders = jnp.argsort(mags, axis=-1)  # (W, N)
         dig_sorted = jnp.take_along_axis(mags, orders, axis=-1)
         neg_sorted = jnp.take_along_axis(negs, orders, axis=-1)
-    pts_sorted = points_rows[:, :, orders]  # (3, L, W, N)
+    # gather only the affine x/y rows (Z rides as the 1-bit inf vector:
+    # a third less HBM traffic through the sort/scan stream — the gather
+    # was the single largest MSM stage at 2^16)
+    inf = (points_rows[2, 0] == 0).astype(jnp.int32)  # (N,)
+    inf_sorted = inf[orders]  # (W, N)
+    pts_sorted = points_rows[:2][:, :, orders]  # (2, L, W, N)
     # conditional negation rides the (lazy, loose-bounds) y rows: -y is a
     # rows.sub_r from zero, masked per (window, element)
     y = pts_sorted[1].reshape(REP_LIMBS, W * N)
@@ -352,7 +368,7 @@ def msm_rows(
     y_sel = jnp.where(neg_sorted.reshape(W * N) != 0, y_neg, y)
     pts_sorted = pts_sorted.at[1].set(y_sel.reshape(REP_LIMBS, W, N))
 
-    buckets = bucket_sums_all_windows(c, pts_sorted, dig_sorted, G)
+    buckets = bucket_sums_all_windows(c, pts_sorted, inf_sorted, dig_sorted, G)
     suffix = _chunked_prefix(c, buckets, reverse=True)  # (3, L, W, NB)
     totals = _reduce_last(c, suffix[..., 1:])  # (3, L, W)
 
