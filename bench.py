@@ -102,7 +102,12 @@ def bench_msm():
     dt = (time.time() - t0) / iters
     pps = N / dt
     log(f"MSM 2^16 pipelined: {dt * 1e3:.1f} ms -> {pps / 1e3:.1f} K points/s")
+    global MSM_MS
+    MSM_MS = dt * 1e3
     return pps
+
+
+MSM_MS = None
 
 
 def bench_verifier():
@@ -121,7 +126,7 @@ def bench_verifier():
     # 2.44 s at B=8 vs 2.52 s at B=16 on the attached TPU), so proofs/s
     # scales ~linearly with the batch
     batch = next(
-        (b for b in (16, 8) if bf.fixture_path(16, b).exists()), 2
+        (b for b in (32, 16, 8) if bf.fixture_path(16, b).exists()), 2
     )
     index, proofs = bf.get_fixture(16, batch)
     if batch == 2:
@@ -187,6 +192,143 @@ def bench_verifier():
     assert all(oks), oks
     pps = B / dt
     log(f"kimchi verify n=2^16 B={B}: {dt*1e3:.1f} ms -> {pps:.2f} proofs/s")
+    try:
+        verify_stage_breakdown(
+            dindex, B, R=0, kk=1, total_ms=dt * 1e3, msm_ms=MSM_MS or 0.0
+        )
+    except Exception as e:
+        log("stage breakdown failed:", repr(e))
+    return pps
+
+
+def verify_stage_breakdown(dindex, B, R, kk, total_ms, msm_ms):
+    """Per-stage breakdown of the batched verify (SURVEY §5 tracing row):
+    times a jitted Poseidon transcript of the SAME op counts the
+    verifier's FQ+FR+IPA sponges run at this shape, reuses the measured
+    MSM stage, and reports the scalar-identity work as the residual.
+    Optional: MINA_BRIDGE_TPU_PROFILE=<dir> captures a jax.profiler
+    trace (TensorBoard format) around the timed transcript."""
+    from mina_bridge_tpu.fields.params import NLIMBS
+    from mina_bridge_tpu.hash import poseidon
+    from mina_bridge_tpu.hash.poseidon_params import poseidon_spec
+    from mina_bridge_tpu.utils.profiling import METRICS, xla_trace
+
+    nc = dindex.nc
+    npub = dindex.npub
+    k = 16  # IPA rounds over the 2^16 SRS
+    # FQ: digest + prev sg + pub chunks + w/rt + s + z/zl + t points...
+    fq_absorbs = 1 + 2 * R + 2 * nc * (1 + 15 + 1 + 5 + 2 + 7)
+    fq_squeezes = 6
+    # FR: digest + prev chals + pub chunk evals + ft_eval1 + 56*nc pairs
+    fr_absorbs = 1 + R * kk + 2 * nc + 1 + 2 * 56 * nc
+    fr_squeezes = 2
+    # IPA continuation on FQ: vprime (2) + k rounds (4 absorbs+1 squeeze)
+    # + delta (2) + final squeeze
+    ipa_absorbs = 2 + 4 * k + 2
+    ipa_squeezes = 1 + k + 1
+
+    def transcript_fn(spec_name, n_abs, n_sq):
+        spec = poseidon_spec(spec_name)
+
+        def run(seed):
+            x = (
+                jax.random.randint(
+                    jax.random.key(seed), (B, NLIMBS), 0, 1 << 13, jnp.int32
+                )
+            )
+            ops = [("absorb", x)] * n_abs + [("squeeze",)] * n_sq
+            sq, _ = poseidon.run_transcript(spec, ops, batch_shape=(B,))
+            return sq[-1] if sq else x
+
+        return jax.jit(run)
+
+    fq = transcript_fn("fq", fq_absorbs + ipa_absorbs, fq_squeezes + ipa_squeezes)
+    fr = transcript_fn("fq", fr_absorbs, fr_squeezes)
+    _ = np.asarray(fq(0)), np.asarray(fr(0))  # compile
+    tdir = os.environ.get("MINA_BRIDGE_TPU_PROFILE")
+    import contextlib
+
+    with xla_trace(tdir) if tdir else contextlib.nullcontext():
+        with METRICS.timer("bench_transcript_stage"):
+            t0 = time.time()
+            _ = np.asarray(fq(1))
+            _ = np.asarray(fr(1))
+            transcript_ms = (time.time() - t0) * 1e3
+    breakdown = {
+        "total_ms": round(total_ms, 1),
+        "transcript_ms": round(transcript_ms, 1),
+        "msm_ms": round(msm_ms, 1),
+        "scalar_identity_residual_ms": round(
+            max(0.0, total_ms - transcript_ms - msm_ms), 1
+        ),
+    }
+    log("verify stage breakdown:", json.dumps(breakdown))
+    return breakdown
+
+
+def bench_pickles():
+    """The REAL Proof-of-State tip shape: wrap 2^17 / step 2^18 over the
+    2^16 SRS (chunked commitments) through pickles.batch_verify_tips,
+    from the committed fixture (reference README.md:485-486; BASELINE
+    config 5). One batched wrap verification (single MSM, accumulators
+    re-opened inside) + the Vesta-side decider MSM."""
+    from mina_bridge_tpu.fields.params import NLIMBS, int_to_limbs
+    from mina_bridge_tpu.kimchi import verifier as kv
+    from mina_bridge_tpu.pickles import fixtures as pfx
+    from mina_bridge_tpu.pickles import verifier as pv
+
+    path = None
+    for b in (4, 2):
+        cand = pfx.fixture_path(pv.REAL_BLOCK_LOG_N, pv.REAL_STEP_LOG_N, b)
+        if cand.exists():
+            path = cand
+            break
+    if path is None:
+        log("no committed pickles fixture; skipping tip-verify bench")
+        return None
+    t0 = time.time()
+    bln, sln, tips, host_index = pfx.load_tips(path)
+    g, h = pv._srs_for("pallas", host_index.domain.n)
+    dindex = kv.DeviceVerifierIndex.from_host(host_index, g, h)
+    dtips = pv.device_proofs(tips)
+    B = len(tips)
+    log(
+        f"pickles fixture ready in {time.time()-t0:.1f}s "
+        f"(wrap 2^{bln}, step 2^{sln}, B={B})"
+    )
+    rng = np.random.RandomState(11)
+
+    def fresh_rw():
+        rw = np.zeros((B, 3, NLIMBS), np.int32)
+        for bi in range(B):
+            for j in range(3):
+                rw[bi, j] = int_to_limbs(
+                    int.from_bytes(rng.bytes(16), "little"), NLIMBS
+                )
+        return jnp.asarray(rw)
+
+    def run():
+        return pv.batch_verify_tips(
+            dtips, fresh_rw(), log_n=bln, step_log_n=sln, dindex=dindex
+        )
+
+    t0 = time.time()
+    ok = bool(np.asarray(run()))
+    log(f"pickles verify compile+first run: {time.time()-t0:.1f}s, ok={ok}")
+    if not ok:
+        log("pickles fixture REJECTED — not reporting throughput")
+        return None
+    iters = 3
+    t0 = time.time()
+    outs = [run() for _ in range(iters)]
+    oks = [bool(np.asarray(o)) for o in outs]
+    dt = (time.time() - t0) / iters
+    assert all(oks), oks
+    pps = B / dt
+    log(
+        f"pickles tip verify wrap 2^{bln}/step 2^{sln} B={B}: "
+        f"{dt*1e3:.1f} ms -> {pps:.2f} proofs/s"
+    )
     return pps
 
 
@@ -216,6 +358,18 @@ def main():
             log("verifier bench failed:", repr(e))
     else:
         log(f"skipping verifier bench (elapsed {elapsed:.0f}s)")
+
+    elapsed = time.time() - START
+    if elapsed < BUDGET_S * 0.9:
+        try:
+            tps = bench_pickles()
+            if tps is not None:
+                result["pickles_tip_verify_proofs_per_sec"] = round(tps, 3)
+                print(json.dumps(result), flush=True)
+        except Exception as e:
+            log("pickles bench failed:", repr(e))
+    else:
+        log(f"skipping pickles bench (elapsed {elapsed:.0f}s)")
 
 
 if __name__ == "__main__":

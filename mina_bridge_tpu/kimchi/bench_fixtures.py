@@ -92,15 +92,25 @@ def make_fixture(log_n: int, batch: int, n_gates: int | None = None):
 # ---------------------------------------------------------------------------
 
 def _pt(p):
+    # a chunked commitment (list of points) nests: [[hex,hex], ...] —
+    # distinguishable from a bare point [hex, hex] by element type
+    if isinstance(p, list):
+        return [_pt(q) for q in p]
     return None if p is None else [hex(p[0]), hex(p[1])]
 
 
 def _unpt(v):
-    return None if v is None else (int(v[0], 16), int(v[1], 16))
+    if v is None:
+        return None
+    if isinstance(v[0], str):  # a bare point [hex_x, hex_y]
+        return (int(v[0], 16), int(v[1], 16))
+    # a chunk list: elements are points or None (an all-identity chunked
+    # commitment, e.g. an unused selector, is [None, ..., None])
+    return [_unpt(q) for q in v]
 
 
 def _index_doc(index: VerifierIndexHost) -> dict:
-    return {
+    doc = {
         "log_n": index.domain.log_size,
         "npub": index.npub,
         "shifts": [hex(s) for s in index.shifts],
@@ -110,11 +120,20 @@ def _index_doc(index: VerifierIndexHost) -> dict:
         "table_comm": [_pt(p) for p in index.table_comm],
         "qlk_comm": _pt(index.qlk_comm),
     }
+    if index.srs_len:  # chunked index; key absent in pre-chunk fixtures
+        doc["srs_len"] = index.srs_len
+    return doc
 
 
 def _proof_doc(pr: HostProof) -> dict:
     op = pr.opening
-    return {
+    doc = {}
+    if pr.prev_challenges:  # carried pickles accumulators (wrap proofs)
+        doc["prev"] = [
+            [[hex(c) for c in chals], _pt(sg)]
+            for chals, sg in pr.prev_challenges
+        ]
+    return doc | {
         "w_comm": [_pt(p) for p in pr.w_comm],
         "z_comm": _pt(pr.z_comm),
         "s_comm": [_pt(p) for p in pr.s_comm],
@@ -149,11 +168,8 @@ def save_fixture(path: pathlib.Path, index, proofs) -> None:
         json.dump(doc, f)
 
 
-def load_fixture(path: pathlib.Path, curve: CurveSpec = PALLAS):
-    with gzip.open(path, "rt") as f:
-        doc = json.load(f)
-    d = doc["index"]
-    index = VerifierIndexHost(
+def _index_from_doc(d: dict, curve: CurveSpec) -> VerifierIndexHost:
+    return VerifierIndexHost(
         curve=curve,
         domain=Domain(curve.scalar, d["log_n"]),
         npub=d["npub"],
@@ -163,6 +179,7 @@ def load_fixture(path: pathlib.Path, curve: CurveSpec = PALLAS):
         table_comm=[_unpt(p) for p in d["table_comm"]],
         qlk_comm=_unpt(d["qlk_comm"]),
         shifts=tuple(int(s, 16) for s in d["shifts"]),
+        srs_len=d.get("srs_len"),
         # coefficient polynomials are prover-side only; the device
         # verifier index never reads them (kimchi/verifier.py from_host)
         sigma_coeffs=None,
@@ -172,38 +189,47 @@ def load_fixture(path: pathlib.Path, curve: CurveSpec = PALLAS):
         qlk_coeffs=None,
         rt_rows=None,
     )
-    proofs = []
-    for pd in doc["proofs"]:
-        uh = pd["u_hints"]
-        opening = ipa.HostOpeningProof(
-            lr=[(_unpt(L), _unpt(R)) for L, R in pd["lr"]],
-            delta=_unpt(pd["delta"]),
-            z1=int(pd["z1"], 16),
-            z2=int(pd["z2"], 16),
-            sg=_unpt(pd["sg"]),
-            chals=[int(x, 16) for x in pd["chals"]],
-            u_hints=gm.UHints(
-                sel=uh["sel"],
-                y=int(uh["y"], 16),
-                wits=tuple(int(w, 16) for w in uh["wits"]),
-                alpha=int(uh["alpha"], 16),
-            ),
-        )
-        proofs.append(
-            HostProof(
-                w_comm=[_unpt(p) for p in pd["w_comm"]],
-                z_comm=_unpt(pd["z_comm"]),
-                s_comm=[_unpt(p) for p in pd["s_comm"]],
-                rt_comm=_unpt(pd["rt_comm"]),
-                zl_comm=_unpt(pd["zl_comm"]),
-                t_comm=[_unpt(p) for p in pd["t_comm"]],
-                evals=[(int(e0, 16), int(e1, 16)) for e0, e1 in pd["evals"]],
-                ft_eval1=int(pd["ft_eval1"], 16),
-                opening=opening,
-                public=[int(x, 16) for x in pd["public"]],
-                prev_challenges=[],
-            )
-        )
+
+
+def _proof_from_doc(pd: dict) -> HostProof:
+    uh = pd["u_hints"]
+    opening = ipa.HostOpeningProof(
+        lr=[(_unpt(L), _unpt(R)) for L, R in pd["lr"]],
+        delta=_unpt(pd["delta"]),
+        z1=int(pd["z1"], 16),
+        z2=int(pd["z2"], 16),
+        sg=_unpt(pd["sg"]),
+        chals=[int(x, 16) for x in pd["chals"]],
+        u_hints=gm.UHints(
+            sel=uh["sel"],
+            y=int(uh["y"], 16),
+            wits=tuple(int(w, 16) for w in uh["wits"]),
+            alpha=int(uh["alpha"], 16),
+        ),
+    )
+    return HostProof(
+        w_comm=[_unpt(p) for p in pd["w_comm"]],
+        z_comm=_unpt(pd["z_comm"]),
+        s_comm=[_unpt(p) for p in pd["s_comm"]],
+        rt_comm=_unpt(pd["rt_comm"]),
+        zl_comm=_unpt(pd["zl_comm"]),
+        t_comm=[_unpt(p) for p in pd["t_comm"]],
+        evals=[(int(e0, 16), int(e1, 16)) for e0, e1 in pd["evals"]],
+        ft_eval1=int(pd["ft_eval1"], 16),
+        opening=opening,
+        public=[int(x, 16) for x in pd["public"]],
+        prev_challenges=[
+            ([int(c, 16) for c in chals], _unpt(sg))
+            for chals, sg in pd.get("prev", [])
+        ],
+    )
+
+
+def load_fixture(path: pathlib.Path, curve: CurveSpec = PALLAS):
+    with gzip.open(path, "rt") as f:
+        doc = json.load(f)
+    index = _index_from_doc(doc["index"], curve)
+    proofs = [_proof_from_doc(pd) for pd in doc["proofs"]]
     return index, proofs
 
 

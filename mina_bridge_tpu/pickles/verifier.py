@@ -71,9 +71,29 @@ from ..fields.params import NLIMBS, int_to_limbs, limbs_to_int
 from ..kimchi import prover_host, verifier as kv
 from ..kimchi.circuit import COLUMNS, CircuitBuilder
 
-BLOCK_LOG_N = 7  # fixture domain; real Wrap domain is 2^17 (README.md:486)
-STEP_LOG_N = 4  # fixture domain; real Step domain is 2^18 (README.md:485)
+BLOCK_LOG_N = 7  # default fixture domain; real Wrap is 2^17 (README.md:486)
+STEP_LOG_N = 4  # default fixture domain; real Step is 2^18 (README.md:485)
+# Real-scale Proof-of-State domains over the shipped 2^16 SRS: the
+# prover/verifier switch to chunked commitments (prover_host chunk
+# helpers) once the domain exceeds the SRS, so both shapes below are
+# directly usable (TpuVerifierService(block_log_n=17)).
+REAL_BLOCK_LOG_N = 17
+REAL_STEP_LOG_N = 18
+SRS_LOG_N = 16  # log2 of the shipped SRS (curves/srs.py SRS_SIZE)
 MAX_PROOFS_VERIFIED = 2  # pickles' per-proof accumulator arity
+
+
+def _srs_for(curve_name: str, n: int):
+    """SRS prefix backing a domain of size n: min(n, 2^16) points; the
+    prover chunks commitments when n exceeds it."""
+    return srs_points_host(curve_name, min(n, 1 << SRS_LOG_N))
+
+
+def acc_log_n(log_n: int) -> int:
+    """IPA folding-round count for a domain: the opening always runs
+    over SRS-length vectors, so accumulators carry min(log_n, 16)
+    challenges regardless of (chunked) domain size."""
+    return min(log_n, SRS_LOG_N)
 
 
 @functools.cache
@@ -85,7 +105,7 @@ def _setup(curve_name: str, log_n: int, npub: int = 1):
     for _ in range(npub):
         b.public_input()
     circuit = b.build()
-    g, h = srs_points_host(curve_name, circuit.n)
+    g, h = _srs_for(curve_name, circuit.n)
     index = prover_host.setup(circuit, curve, g, h)
     dindex = kv.DeviceVerifierIndex.from_host(index, g, h)
     return circuit, index, dindex, g, h
@@ -187,21 +207,29 @@ def wrap_setup(log_n: int = BLOCK_LOG_N, step_log_n: int = STEP_LOG_N):
     b = CircuitBuilder(curve.scalar, log_n)
     pub_hash = b.public_input()
     pub_digest = b.public_input()
-    n_pairs = step_log_n + 1  # k chal-halves pairs + the sg (x, y) pair
+    # k chal-halves pairs + the sg (x, y) pair; k = the step opening's
+    # folding rounds = log2 of the step-side SRS (chunked domains still
+    # fold over SRS-length vectors)
+    n_pairs = acc_log_n(step_log_n) + 1
     gadget = _sponge_gadget(b, n_pairs)
     b.connect([gadget["digest"], pub_digest])
     circuit = b.build()
-    g, h = srs_points_host("pallas", circuit.n)
+    g, h = _srs_for("pallas", circuit.n)
     index = prover_host.setup(circuit, curve, g, h)
     dindex = kv.DeviceVerifierIndex.from_host(index, g, h)
     return circuit, gadget, index, dindex, g, h
 
 
-def block_setup(log_n: int = BLOCK_LOG_N):
+def block_setup(log_n: int = BLOCK_LOG_N, step_log_n: int | None = None):
     """Wrap-side (Pallas) setup — the proof the bridge actually receives.
     Public inputs: [state_hash, deferred_digest] (digest re-derived
-    in-circuit by the deferred-values gadget, see wrap_setup)."""
-    circuit, _gadget, index, dindex, g, h = wrap_setup(log_n)
+    in-circuit by the deferred-values gadget, see wrap_setup).
+
+    step_log_n MUST match the proving side: the gadget's absorb arity is
+    the step accumulator's challenge count + 1, so a different step
+    domain is a different wrap circuit (different index digest)."""
+    step_log_n = STEP_LOG_N if step_log_n is None else step_log_n
+    circuit, _gadget, index, dindex, g, h = wrap_setup(log_n, step_log_n)
     return circuit, index, dindex, g, h
 
 
@@ -230,7 +258,7 @@ def deferred_digest_host(chals: list[int], sg) -> int:
 def dummy_accumulator(curve_name: str = "pallas", log_n: int = BLOCK_LOG_N):
     """The padding accumulator: chals = 0 => s = (1,0,..,0) => sg = g[0]."""
     _, _, _, g, _ = _setup(curve_name, log_n)
-    return ([0] * log_n, g[0])
+    return ([0] * acc_log_n(log_n), g[0])
 
 
 @dataclasses.dataclass
@@ -345,15 +373,21 @@ def batch_verify_tips(
     rand_weights,
     log_n: int = BLOCK_LOG_N,
     step_log_n: int | None = None,
+    dindex: "kv.DeviceVerifierIndex | None" = None,
 ):
     """Verify B tips: one batched wrap verification (single MSM, carried
     accumulators re-opened inside it) + one batched step-accumulator
     decider MSM on the Vesta side.
 
     rand_weights: (B, 3, NLIMBS) — (w, rho) for the wrap opening combine
-    plus the decider weight."""
+    plus the decider weight.
+
+    dindex: optional preloaded wrap verifier index (e.g. from a
+    committed fixture — pickles.fixtures) to skip the multi-minute
+    block_setup commitment recomputation at real scale (2^17)."""
     step_log_n = STEP_LOG_N if step_log_n is None else step_log_n
-    _, _, dindex, _, _ = block_setup(log_n)
+    if dindex is None:
+        _, _, dindex, _, _ = block_setup(log_n, step_log_n)
     # host-computed public-commitment hints skip the wrap verify's
     # 260-step on-device double-and-add; bound inside the batched MSM
     # (kv.verify docstring). Only possible when the publics are concrete
@@ -373,10 +407,15 @@ def batch_verify_tips(
     # must equal the digest of the step accumulator being decided
     digest = _device_deferred_digest(dtips.acc_chals, dtips.acc_sg)
     digest_ok = jnp.all(digest == dtips.wrap.public[:, 1])
-    _, _, sdindex, _, _ = step_setup(step_log_n)
+    # the decider needs only the Vesta SRS prefix the step opening
+    # folded over (min(n, 2^16) points — chunked domains still fold
+    # SRS-length vectors), not a step verifier index
+    from ..curves.srs import load_srs
+
+    sg_affine = load_srs("vesta", 1 << acc_log_n(step_log_n))["g"]
     acc_ok = ipa.batch_decide(
         VESTA,
-        jnp.asarray(sdindex.g_affine),
+        jnp.asarray(sg_affine),
         dtips.acc_chals,
         dtips.acc_sg,
         rand_weights[:, 2],
