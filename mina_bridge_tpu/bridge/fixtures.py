@@ -115,7 +115,7 @@ def dummy_tip_doc() -> dict:
     real tip via pickles.prove_tip and pass it alongside)."""
     pt = ("Infinity", [])
     return {
-        "statement": {"step_acc_chals": [], "step_acc_sg": pt},
+        "statement": {"step_acc_prechals": [], "step_acc_sg": pt},
         "proof": {
             "public": [],
             "prev_challenges": [],

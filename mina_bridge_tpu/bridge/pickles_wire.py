@@ -84,7 +84,7 @@ TIP_PROOF = bp.Versioned(
         (
             "statement",
             bp.Record(
-                ("step_acc_chals", bp.List(bp.Field())),
+                ("step_acc_prechals", bp.List(bp.Field())),
                 ("step_acc_sg", POINT),
             ),
         ),
@@ -120,7 +120,7 @@ def tip_doc(tip) -> dict:
     op = pr.opening
     return {
         "statement": {
-            "step_acc_chals": list(tip.step_acc_chals),
+            "step_acc_prechals": list(tip.step_acc_prechals),
             "step_acc_sg": _pt_wire(tip.step_acc_sg),
         },
         "proof": {
@@ -201,7 +201,7 @@ def tip_from_doc(doc: dict):
     st = doc["statement"]
     return TipProof(
         wrap=wrap,
-        step_acc_chals=list(st["step_acc_chals"]),
+        step_acc_prechals=list(st["step_acc_prechals"]),
         step_acc_sg=_pt_unwire(st["step_acc_sg"]),
     )
 

@@ -165,6 +165,15 @@ class HostOpeningProof:
     # re-derives them from the transcript). (chals, sg) is the Pickles
     # accumulator this opening leaves behind (README.md:534-544).
     chals: list = dataclasses.field(default_factory=list)
+    # The raw 128-bit PRE-challenges the chals were endo-mapped from:
+    # pickles carries these across the field boundary (the endo map to
+    # the other curve's scalar field is deferred to where that field is
+    # native); the wrap circuit's step-transcript replay re-derives and
+    # binds exactly these (pickles/verifier.py, PARITY D7).
+    prechals: list = dataclasses.field(default_factory=list)
+    # Combined inner product absorbed into the opening transcript
+    # (prover-side convenience for transcript replay fillers).
+    vprime: int = 0
     # Verifiable hints for the device's U = to_group(t) reconstruction
     # (curves/groupmap.py). Untrusted: the device validates by squaring.
     u_hints: gm.UHints | None = None
@@ -274,6 +283,7 @@ class HostIpaProver:
         bv = list(b)
         lr = []
         chals = []
+        prechals = []
         r_acc = r
         for _ in range(k):
             m = len(a) // 2
@@ -298,7 +308,9 @@ class HostIpaProver:
             lr.append((L, R))
             sponge.absorb(L[0]), sponge.absorb(L[1])
             sponge.absorb(R[0]), sponge.absorb(R[1])
-            ch = host_endo_chal(curve, sponge)
+            pre = host_squeeze_128(sponge)
+            ch = endo_to_field(pre, curve.endo_scalar, curve.scalar.p)
+            prechals.append(pre)
             chals.append(ch)
             ch_inv = fh.finv(curve.scalar, ch)
             # fold: a' = a_lo + ch_inv * a_hi ; b' = b_lo + ch*b_hi ; g' = g_lo + ch*g_hi
@@ -330,6 +342,8 @@ class HostIpaProver:
             z2=z2,
             sg=sg,
             chals=list(chals),
+            prechals=list(prechals),
+            vprime=vprime,
             u_hints=u_hints,
         )
         return proof, {
@@ -451,18 +465,28 @@ def device_s_vector(spec, chals: list[jax.Array], n: int) -> jax.Array:
 def batch_decide(
     curve: CurveSpec,
     g_affine: jax.Array,  # (n, 2, NLIMBS)
-    acc_chals: jax.Array,  # (B, k, NLIMBS) canonical
+    acc_prechals: jax.Array,  # (B, k, NLIMBS) canonical 128-bit values
     acc_sg: jax.Array,  # (B, 2, NLIMBS)
     weights: jax.Array,  # (B, NLIMBS) verifier randomness
 ) -> jax.Array:
     """The Pickles 'decider': check B deferred accumulator claims
     sg_b == <s(chals_b), G> with ONE random-linear-combination MSM
     (sum_b w_b (sg_b - <s_b, G>) == identity). This is the step-side
-    check the wrap circuit defers (reference README.md:534-544)."""
+    check the wrap circuit defers (reference README.md:534-544).
+
+    The accumulator carries raw 128-bit PRE-challenges (what crosses
+    the Pasta cycle boundary in pickles); the endo map into this
+    curve's scalar field happens here, where that field is native."""
     fs = curve.scalar
-    B, k = acc_chals.shape[:2]
+    B, k = acc_prechals.shape[:2]
     n = g_affine.shape[0]
-    chals = [ffl.from_canon(acc_chals[:, i]) for i in range(k)]
+    mask = jnp.asarray(_MASK128)
+    chals = [
+        endo_to_field_device(
+            fs, curve.endo_scalar, acc_prechals[:, i] & mask
+        )
+        for i in range(k)
+    ]
     s = device_s_vector(fs, chals, n)
     w = ffl.from_canon(weights)
     sc_g = ffl.canon(

@@ -60,7 +60,7 @@ def make_tips(
 def _tip_doc(tip: pv.TipProof) -> dict:
     return {
         "wrap": bf._proof_doc(tip.wrap),
-        "acc_chals": [hex(c) for c in tip.step_acc_chals],
+        "acc_prechals": [hex(c) for c in tip.step_acc_prechals],
         "acc_sg": bf._pt(tip.step_acc_sg),
     }
 
@@ -68,7 +68,7 @@ def _tip_doc(tip: pv.TipProof) -> dict:
 def _tip_undoc(d: dict) -> pv.TipProof:
     return pv.TipProof(
         wrap=bf._proof_from_doc(d["wrap"]),
-        step_acc_chals=[int(c, 16) for c in d["acc_chals"]],
+        step_acc_prechals=[int(c, 16) for c in d["acc_prechals"]],
         step_acc_sg=bf._unpt(d["acc_sg"]),
     )
 

@@ -71,7 +71,9 @@ from ..fields.params import NLIMBS, int_to_limbs, limbs_to_int
 from ..kimchi import prover_host, verifier as kv
 from ..kimchi.circuit import COLUMNS, CircuitBuilder
 
-BLOCK_LOG_N = 7  # default fixture domain; real Wrap is 2^17 (README.md:486)
+BLOCK_LOG_N = 10  # default fixture domain (the step-transcript replay
+# gadget needs ~700 rows at the toy step shape); real Wrap is 2^17
+# (reference README.md:486)
 STEP_LOG_N = 4  # default fixture domain; real Step is 2^18 (README.md:485)
 # Real-scale Proof-of-State domains over the shipped 2^16 SRS: the
 # prover/verifier switch to chunked commitments (prover_host chunk
@@ -111,74 +113,139 @@ def _setup(curve_name: str, log_n: int, npub: int = 1):
     return circuit, index, dindex, g, h
 
 
-def _sponge_gadget(b: CircuitBuilder, n_pairs: int) -> dict:
-    """Circuit rows computing a kimchi sponge digest of 2*n_pairs
-    elements (rate 2): one full 55-round poseidon permutation span per
-    absorbed pair, with generic add rows folding each pair into the
-    running state (the in-circuit twin of hash/poseidon.HostSponge).
+RATE = 2  # kimchi sponge rate (hash/poseidon_params.RATE)
 
-    Returns absorb cells (the free preimage witness cells), the digest
-    output cell, and the row bookkeeping the witness filler needs.
+
+def _transcript_gadget(b: CircuitBuilder, schedule: list[str]) -> dict:
+    """Circuit rows replaying a kimchi HostSponge transcript in-circuit:
+    one full 55-round poseidon permutation span per sponge block, with
+    generic add rows folding absorbed values into the running state —
+    the in-circuit twin of hash/poseidon.HostSponge, supporting
+    interleaved absorbs and squeezes (the wrap circuit's step-transcript
+    replay, PARITY D7).
+
+    schedule: list of "absorb" / "squeeze" tokens. Returns
+      absorb:  one free witness cell per absorb (in order);
+      squeeze: one state-output cell per squeeze (in order);
+      flushes: the permutation/add bookkeeping the witness filler
+               (_transcript_fill) replays.
     """
     zrow = len(b.rows)
     b.rows.append((1, 0, 0, 0, 0))  # generic: w0 == 0 (constant zero)
     zero_cell = (0, zrow)
-    absorb_cells, perms, adds = [], [], []
+
+    # free-cell allocator: only the first PERMUTS columns participate in
+    # the copy-constraint (permutation) argument, so absorb cells must
+    # live there — 7 witness cells per constraint-free row
+    from ..kimchi.circuit import PERMUTS
+
+    alloc_state = {"row": None, "col": PERMUTS}
+
+    def alloc():
+        if alloc_state["col"] >= PERMUTS:
+            alloc_state["row"] = b.zero_row()
+            alloc_state["col"] = 0
+        cell = (alloc_state["col"], alloc_state["row"])
+        alloc_state["col"] += 1
+        return cell
+
+    absorb_cells: list = []
+    squeeze_cells: list = []
+    flushes: list = []
     prev_out = None
-    for j in range(n_pairs):
-        if j == 0:
-            ins, outs, rows = b.poseidon_permutation()
-            # initial state is (a_0, b_0, 0): the first two permutation
-            # input cells ARE the absorb cells; lane 2 is pinned to zero
-            b.connect([ins[2], zero_cell])
-            absorb_cells.append((ins[0], ins[1]))
-        else:
-            add_a = b.add_gate()  # z = x + y
-            add_b = b.add_gate()
-            ins, outs, rows = b.poseidon_permutation()
-            b.connect([add_a[0], prev_out[0]])  # x = state lane 0
-            b.connect([add_a[2], ins[0]])  # z feeds the permutation
-            b.connect([add_b[0], prev_out[1]])
-            b.connect([add_b[2], ins[1]])
-            b.connect([prev_out[2], ins[2]])  # capacity lane carries over
-            absorb_cells.append((add_a[1], add_b[1]))
-            adds.append((add_a, add_b))
-        perms.append((ins, outs, rows))
+    pending: dict = {}  # lane -> (absorb cell, absorb index)
+    mode, offset = "absorbing", 0
+
+    def flush():
+        nonlocal prev_out, pending
+        adds = {}
+        ins, outs, rows = b.poseidon_permutation()
+        for lane in range(3):
+            if prev_out is None:
+                if lane in pending:
+                    b.connect([ins[lane], pending[lane][0]])
+                else:
+                    b.connect([ins[lane], zero_cell])
+            elif lane in pending:
+                add = b.add_gate()  # z = x + y
+                b.connect([add[0], prev_out[lane]])
+                b.connect([add[1], pending[lane][0]])
+                b.connect([add[2], ins[lane]])
+                adds[lane] = add
+            else:
+                b.connect([ins[lane], prev_out[lane]])
+        flushes.append(
+            {
+                "rows": rows,
+                "adds": adds,
+                "pending": {ln: idx for ln, (c, idx) in pending.items()},
+                "first": prev_out is None,
+            }
+        )
         prev_out = outs
+        pending = {}
+
+    for op in schedule:
+        if op == "absorb":
+            if mode != "absorbing":
+                mode, offset = "absorbing", 0
+            if offset == RATE:
+                flush()
+                offset = 0
+            cell = alloc()
+            pending[offset] = (cell, len(absorb_cells))
+            absorb_cells.append(cell)
+            offset += 1
+        elif op == "squeeze":
+            if mode == "absorbing" or offset == RATE:
+                flush()
+                mode, offset = "squeezing", 0
+            squeeze_cells.append(prev_out[offset])
+            offset += 1
+        else:
+            raise ValueError(op)
+
     return {
         "absorb": absorb_cells,
-        "digest": prev_out[0],
-        "perms": perms,
-        "adds": adds,
+        "squeeze": squeeze_cells,
+        "flushes": flushes,
         "zero": zero_cell,
+        "schedule": list(schedule),
     }
 
 
-def _sponge_fill(w, gadget: dict, inputs: list[int], field) -> int:
-    """Fill the _sponge_gadget witness cells; returns the digest."""
+def _transcript_fill(w, gadget: dict, values: list[int], field) -> list[int]:
+    """Fill the _transcript_gadget witness; values are the absorbed
+    elements in schedule order. Returns the squeezed values."""
     from ..hash import poseidon
     from ..hash.poseidon_params import poseidon_spec
+    from ..kimchi import gates as G
 
     ps = poseidon_spec(field.name)
     p = field.p
     n_rounds = len(ps.round_constants)
-    state = [0, 0, 0]
+    assert len(values) == len(gadget["absorb"])
+    for cell, v in zip(gadget["absorb"], values):
+        w[cell[0]][cell[1]] = v % p
     w[gadget["zero"][0]][gadget["zero"][1]] = 0
-    for j, (ins, outs, rows) in enumerate(gadget["perms"]):
-        a, b_ = inputs[2 * j] % p, inputs[2 * j + 1] % p
-        s_in = [(state[0] + a) % p, (state[1] + b_) % p, state[2]]
-        if j > 0:
-            add_a, add_b = gadget["adds"][j - 1]
-            for cells, addend, out in ((add_a, a, s_in[0]), (add_b, b_, s_in[1])):
-                (xc, xr), (yc, yr), (zc, zr) = cells
-                w[xc][xr] = state[0] if cells is add_a else state[1]
-                w[yc][yr] = addend
-                w[zc][zr] = out
-        states = [list(s_in)]
+
+    # replay the same flush structure the gadget recorded
+    state = [0, 0, 0]
+    for fl in gadget["flushes"]:
+        s_in = list(state)
+        for lane, vidx in fl["pending"].items():
+            v = values[vidx] % p
+            new = (state[lane] + v) % p
+            if not fl["first"]:
+                (xc, xr), (yc, yr), (zc, zr) = fl["adds"][lane]
+                w[xc][xr] = state[lane]
+                w[yc][yr] = v
+                w[zc][zr] = new
+            s_in[lane] = new
+        states = [s_in]
         for r in range(n_rounds):
             states.append(poseidon.host_permute_round(ps, states[-1], r))
-        from ..kimchi import gates as G
-
+        rows = fl["rows"]
         for ridx, row in enumerate(rows[:-1]):
             st5 = states[G.ROUNDS_PER_ROW * ridx : G.ROUNDS_PER_ROW * (ridx + 1)]
             for i, st in enumerate(st5):
@@ -187,36 +254,228 @@ def _sponge_fill(w, gadget: dict, inputs: list[int], field) -> int:
         for lane in range(3):
             w[lane][rows[-1]] = states[-1][lane]
         state = states[-1]
-    return state[0]
+
+    # walk the schedule again to read squeezed values in order
+    squeezes = []
+    sponge = poseidon.HostSponge(ps)
+    vi = 0
+    for op in gadget["schedule"]:
+        if op == "absorb":
+            sponge.absorb(values[vi] % p)
+            vi += 1
+        else:
+            squeezes.append(sponge.squeeze())
+    return squeezes
+
+
+def _const_cell(b: CircuitBuilder, value: int):
+    """A cell pinned to a constant via a generic row (w0 = value)."""
+    p = b.domain.field.p
+    row = len(b.rows)
+    b.rows.append((1, 0, 0, 0, (p - value) % p))  # w0 - value = 0
+    return (0, row)
+
+
+def _prechal_gadget(b: CircuitBuilder, squeeze_cell) -> dict:
+    """Constrain a squeezed sponge output s to its 128-bit truncation:
+    s = lo + 2^128 * hi with lo < 2^128 (64-crumb endomulscalar chain,
+    its n-accumulator IS the range proof) and hi < 2^126 (second chain,
+    top crumb pinned to zero; 2^128*hi + lo < p so the decomposition is
+    unique — completeness gap only for s >= 2^254, probability 2^-129
+    per squeeze, the usual 128-bit-truncation caveat). Returns the lo
+    cell: the raw PRE-challenge pickles carries across the cycle."""
+    from ..kimchi import gadgets as gd
+
+    p = b.domain.field.p
+    zero = _const_cell(b, 0)
+    lo_g = gd.endo_scalar_gadget(b, 128)
+    hi_g = gd.endo_scalar_gadget(b, 128)
+    b.connect([lo_g["n_in"], zero])
+    b.connect([hi_g["n_in"], zero])
+    b.connect([hi_g["rows"][0]["crumbs"][0], zero])  # hi < 2^126
+    # s = lo + 2^128 * hi  (generic: w0 + 2^128 w1 - w2 = 0)
+    row = len(b.rows)
+    b.rows.append((1, (1 << 128) % p, p - 1, 0, 0))
+    b.connect([(0, row), lo_g["n_out"]])
+    b.connect([(1, row), hi_g["n_out"]])
+    b.connect([(2, row), squeeze_cell])
+    return {"lo": lo_g, "hi": hi_g, "out": lo_g["n_out"], "sum_row": row}
+
+
+def _prechal_fill(w, gadget: dict, s: int, p: int) -> int:
+    """Fill a _prechal_gadget for squeezed value s; returns lo128."""
+    from ..kimchi import gadgets as gd
+
+    lo = s & ((1 << 128) - 1)
+    hi = s >> 128
+    assert hi < (1 << 126), "squeeze in the 2^-129 truncation gap"
+    gd.endo_scalar_fill(p, w, gadget["lo"], lo)
+    gd.endo_scalar_fill(p, w, gadget["hi"], hi)
+    w[0][gadget["sum_row"]] = lo
+    w[1][gadget["sum_row"]] = hi
+    w[2][gadget["sum_row"]] = s % p
+    return lo
+
+
+def _step_schedule(step_log_n: int) -> tuple[list[str], dict]:
+    """The step proof's FQ-transcript schedule (prover_host.prove order,
+    R = 0 accumulators) through the IPA folding-challenge squeezes:
+    digest, public-commitment chunks, w/rt chunks, joint, s chunks,
+    beta, gamma, z/zl chunks, alpha, t chunks, zeta, fq_digest, vprime
+    halves, the groupmap challenge, then k rounds of (L, R) absorbs and
+    a folding prechallenge squeeze. Returns (schedule, tags) where tags
+    maps squeeze index -> name ('chal' entries are the bound rounds)."""
+    from ..kimchi.prover_host import N_OPENED, T_CHUNKS  # noqa: F401
+
+    nc = 1 << max(0, step_log_n - SRS_LOG_N)
+    k = acc_log_n(step_log_n)
+    sched: list[str] = []
+    tags: dict[int, str] = {}
+    sq = 0
+
+    def absorbs(n):
+        sched.extend(["absorb"] * n)
+
+    def squeeze(tag):
+        nonlocal sq
+        sched.append("squeeze")
+        tags[sq] = tag
+        sq += 1
+
+    absorbs(1)  # step index digest (pinned constant)
+    absorbs(2 * nc)  # public commitment chunks (+H on chunk 0)
+    absorbs(2 * 15 * nc)  # w chunks
+    absorbs(2 * nc)  # rt chunks
+    squeeze("joint")
+    absorbs(2 * 5 * nc)  # sorted lookup chunks
+    squeeze("beta")
+    squeeze("gamma")
+    absorbs(2 * nc)  # z chunks
+    absorbs(2 * nc)  # zl chunks
+    squeeze("alpha")
+    absorbs(2 * 7 * nc)  # t chunks
+    squeeze("zeta")
+    squeeze("fq_digest")
+    absorbs(2)  # vprime (lo, hi)
+    squeeze("tgroup")
+    for i in range(k):
+        absorbs(4)  # L, R coordinates
+        squeeze("chal")
+    return sched, tags
+
+
+def _step_absorb_values(index, proof, g, h) -> list[int]:
+    """The concrete absorb values of _step_schedule for a step proof:
+    everything the wrap circuit's replay witnesses. Pure host data
+    (commitment coordinates are Fq = wrap-native); the public
+    commitment chunks are recomputed exactly as the verifier does."""
+    from ..curves import host as hc
+    from ..kimchi.domain import ifft
+    from ..kimchi.prover_host import as_chunks, commit_chunks
+
+    curve = index.curve
+    n = index.domain.n
+    N, nc = index.chunk_size, index.chunks
+    g = g[: N]
+    vals: list[int] = [index.digest()]
+
+    def pt(p_):
+        vals.extend([p_[0] if p_ else 0, p_[1] if p_ else 0])
+
+    pub_coeffs = ifft(
+        index.domain,
+        [proof.public[i] if i < len(proof.public) else 0 for i in range(n)],
+    )
+    pub_chunks = as_chunks(commit_chunks(curve, g, h, pub_coeffs, 0, N, nc))
+    pt(hc.add(curve, pub_chunks[0], h))
+    for p_ in pub_chunks[1:]:
+        pt(p_)
+    for pc in proof.w_comm:
+        for p_ in as_chunks(pc):
+            pt(p_)
+    for p_ in as_chunks(proof.rt_comm):
+        pt(p_)
+    for pc in proof.s_comm:
+        for p_ in as_chunks(pc):
+            pt(p_)
+    for p_ in as_chunks(proof.z_comm):
+        pt(p_)
+    for p_ in as_chunks(proof.zl_comm):
+        pt(p_)
+    for p_ in proof.t_comm:
+        pt(p_)
+    lo, hi = ipa._split_scalar(curve, proof.opening.vprime)
+    vals.extend([lo, hi])
+    for L, R in proof.opening.lr:
+        pt(L)
+        pt(R)
+    return vals
 
 
 @functools.cache
 def wrap_setup(log_n: int = BLOCK_LOG_N, step_log_n: int = STEP_LOG_N):
-    """Wrap-side (Pallas) setup with the DEFERRED-VALUES GADGET: the
-    circuit itself recomputes the step accumulator's digest (the
-    step-verifier's deferred scalars) with in-circuit poseidon rows and
-    constrains it to equal public input 1 — closing the host-side half
-    of PARITY D7 (reference README.md:534-604: pickles passes the step
-    verifier's results through the wrap circuit).
+    """Wrap-side (Pallas) setup with the STEP-TRANSCRIPT REPLAY and the
+    deferred-values digest (PARITY D7; reference README.md:534-604):
 
-    Public inputs: [state_hash, deferred_digest]. The absorb cells hold
-    the step accumulator preimage (folding-challenge 128-bit halves +
-    sg coordinates, which are NATIVE Fq values on the wrap side of the
-    Pasta cycle)."""
+    1. The circuit REPLAYS the step proof's Fiat-Shamir FQ transcript
+       in-circuit (_transcript_gadget over _step_schedule): the step
+       index digest is pinned as a circuit constant (binding the exact
+       step circuit), the step commitments / vprime / lr points are
+       witnessed absorb cells (their coordinates are native Fq on the
+       wrap side of the cycle), and beta/gamma/alpha/zeta and the k IPA
+       folding prechallenges are squeezed by the replayed sponge.
+    2. Each folding PRE-challenge (raw 128 bits — what pickles carries
+       across the field boundary; the endo map into Fp happens on the
+       decider side where Fp is native) is extracted with a crumb-range
+       gadget (_prechal_gadget) and copy-constrained into the
+       deferred-values digest preimage, alongside the accumulator's sg
+       coordinates; the digest wires to public input 1.
+
+    A wrap proof therefore cannot be formed for an accumulator whose
+    challenges were not derived by Fiat-Shamir from the absorbed step
+    commitments; batch_verify_tips recomputes the digest on device and
+    the decider MSM discharges sg == <s(chals), G>. (The step proof's
+    group-side Schnorr check remains host-side at wrap time — pickles'
+    verified-when-wrapped invariant; see PARITY D7 for the residual.)
+
+    Public inputs: [state_hash, deferred_digest]."""
     curve = PALLAS
     b = CircuitBuilder(curve.scalar, log_n)
     pub_hash = b.public_input()
     pub_digest = b.public_input()
-    # k chal-halves pairs + the sg (x, y) pair; k = the step opening's
-    # folding rounds = log2 of the step-side SRS (chunked domains still
-    # fold over SRS-length vectors)
-    n_pairs = acc_log_n(step_log_n) + 1
-    gadget = _sponge_gadget(b, n_pairs)
-    b.connect([gadget["digest"], pub_digest])
+    k = acc_log_n(step_log_n)
+
+    # --- 1. step-transcript replay ---
+    sched, tags = _step_schedule(step_log_n)
+    replay = _transcript_gadget(b, sched)
+    _, s_index, _, _, _ = step_setup(step_log_n)
+    dig_cell = _const_cell(b, s_index.digest())
+    b.connect([replay["absorb"][0], dig_cell])
+    chal_sq = [i for i in sorted(tags) if tags[i] == "chal"]
+    assert len(chal_sq) == k
+    prechal_gs = [_prechal_gadget(b, replay["squeeze"][i]) for i in chal_sq]
+
+    # --- 2. deferred-values digest over [prechals..., sg.x, sg.y] ---
+    dg = _transcript_gadget(b, ["absorb"] * (k + 2) + ["squeeze"])
+    for i, pg in enumerate(prechal_gs):
+        b.connect([dg["absorb"][i], pg["out"]])
+    b.connect([dg["squeeze"][0], pub_digest])
+
     circuit = b.build()
     g, h = _srs_for("pallas", circuit.n)
     index = prover_host.setup(circuit, curve, g, h)
     dindex = kv.DeviceVerifierIndex.from_host(index, g, h)
+    gadget = {
+        "replay": replay,
+        "prechals": prechal_gs,
+        "digest": dg,
+        "tags": tags,
+        "chal_sq": chal_sq,
+        # the pinned constant's witness cell must be filled with the
+        # step index digest (the row constrains it to that value)
+        "dig_cell": dig_cell,
+        "dig_value": s_index.digest(),
+    }
     return circuit, gadget, index, dindex, g, h
 
 
@@ -238,18 +497,18 @@ def step_setup(log_n: int = STEP_LOG_N):
     return _setup("vesta", log_n)
 
 
-def deferred_digest_host(chals: list[int], sg) -> int:
+def deferred_digest_host(prechals: list[int], sg) -> int:
     """Fq poseidon digest of a step accumulator: the deferred values the
-    wrap proof binds via its public input. chals are Fp (Vesta-scalar)
-    elements absorbed as 128-bit halves; sg coordinates are native Fq."""
+    wrap proof binds via its public input. prechals are the raw 128-bit
+    folding pre-challenges (directly absorbable — the Fp endo map is
+    deferred to the decider); sg coordinates are native Fq."""
     from ..hash.poseidon import HostSponge
     from ..hash.poseidon_params import poseidon_spec
 
     sponge = HostSponge(poseidon_spec(PALLAS.scalar.name))
-    for c in chals:
-        lo, hi = ipa._split_scalar(VESTA, c)
-        sponge.absorb(lo)
-        sponge.absorb(hi)
+    for c in prechals:
+        assert 0 <= c < 1 << 128
+        sponge.absorb(c)
     sponge.absorb(sg[0] if sg else 0)
     sponge.absorb(sg[1] if sg else 0)
     return sponge.squeeze()
@@ -266,7 +525,10 @@ class TipProof:
     """A verified-tip claim: the wrap proof + the step-side accumulator."""
 
     wrap: prover_host.HostProof  # pallas proof, carries R=2 accumulators
-    step_acc_chals: list  # Fp folding challenges of the step opening
+    # raw 128-bit folding PRE-challenges of the step opening (the form
+    # pickles carries across the cycle; Fp endo-mapping happens in the
+    # decider, where Fp is native)
+    step_acc_prechals: list
     step_acc_sg: tuple  # Vesta point: the step opening's `sg`
 
     def accumulator(self):
@@ -300,7 +562,8 @@ def prove_tip(
     # pickles invariant: a step proof is fully verified when it is
     # wrapped; only its accumulator (the MSM claim) is deferred onward
     assert prover_host.host_verify(s_index, step_proof, s_g, s_h)
-    step_chals, step_sg = step_proof.accumulator()
+    step_prechals = list(step_proof.opening.prechals)
+    step_sg = step_proof.opening.sg
 
     # --- wrap proof on Pallas carrying the pallas-side accumulator chain ---
     w_circuit, gadget, w_index, _, w_g, w_h = wrap_setup(log_n, step_log_n)
@@ -310,15 +573,23 @@ def prove_tip(
         accs.append(dummy_accumulator("pallas", log_n))
     n = w_circuit.n
     w = [[0] * n for _ in range(COLUMNS)]
-    # deferred-values gadget witness: the digest is COMPUTED IN-CIRCUIT
-    # from the step accumulator preimage and wired to public input 1
-    preimage = []
-    for c in step_chals:
-        lo, hi = ipa._split_scalar(VESTA, c)
-        preimage += [lo, hi]
-    preimage += [step_sg[0], step_sg[1]]
-    digest = _sponge_fill(w, gadget, preimage, PALLAS.scalar)
-    assert digest == deferred_digest_host(step_chals, step_sg)
+    # 1. replay witness: the step proof's actual transcript absorbs
+    vals = _step_absorb_values(s_index, step_proof, s_g, s_h)
+    w[gadget["dig_cell"][0]][gadget["dig_cell"][1]] = gadget["dig_value"]
+    squeezes = _transcript_fill(w, gadget["replay"], vals, PALLAS.scalar)
+    # 2. prechallenge extraction: the replayed squeezes must reproduce
+    # the IPA prover's folding prechallenges exactly
+    los = [
+        _prechal_fill(w, pg, squeezes[i], wp)
+        for pg, i in zip(gadget["prechals"], gadget["chal_sq"])
+    ]
+    assert los == step_prechals, "transcript replay diverged from prover"
+    # 3. deferred-values digest, computed in-circuit and wired to
+    # public input 1
+    [digest] = _transcript_fill(
+        w, gadget["digest"], los + [step_sg[0], step_sg[1]], PALLAS.scalar
+    )
+    assert digest == deferred_digest_host(step_prechals, step_sg)
     public = [state_hash % wp, digest]
     w[0][0], w[0][1] = public
     wrap_proof = prover_host.prove(
@@ -326,13 +597,13 @@ def prove_tip(
         prev_challenges=accs,
     )
     return TipProof(
-        wrap=wrap_proof, step_acc_chals=step_chals, step_acc_sg=step_sg
+        wrap=wrap_proof, step_acc_prechals=step_prechals, step_acc_sg=step_sg
     )
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["wrap", "acc_chals", "acc_sg"],
+    data_fields=["wrap", "acc_prechals", "acc_sg"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -340,7 +611,7 @@ class DeviceTips:
     """B stacked tip proofs on device."""
 
     wrap: kv.DeviceProofs
-    acc_chals: jax.Array  # (B, k, NLIMBS) step accumulator challenges
+    acc_prechals: jax.Array  # (B, k, NLIMBS) 128-bit folding prechallenges
     acc_sg: jax.Array  # (B, 2, NLIMBS) step accumulator commitments
 
     @classmethod
@@ -352,10 +623,12 @@ class DeviceTips:
 
         return cls(
             wrap=kv.DeviceProofs.from_host([t.wrap for t in tips]),
-            acc_chals=jnp.asarray(
+            acc_prechals=jnp.asarray(
                 np.stack(
                     [
-                        np.stack([int_to_limbs(c, NLIMBS) for c in t.step_acc_chals])
+                        np.stack(
+                            [int_to_limbs(c, NLIMBS) for c in t.step_acc_prechals]
+                        )
                         for t in tips
                     ]
                 )
@@ -405,45 +678,34 @@ def batch_verify_tips(
     )
     # deferred-values binding: the wrap public input's second element
     # must equal the digest of the step accumulator being decided
-    digest = _device_deferred_digest(dtips.acc_chals, dtips.acc_sg)
+    digest = _device_deferred_digest(dtips.acc_prechals, dtips.acc_sg)
     digest_ok = jnp.all(digest == dtips.wrap.public[:, 1])
     # the decider needs only the Vesta SRS prefix the step opening
     # folded over (min(n, 2^16) points — chunked domains still fold
-    # SRS-length vectors), not a step verifier index
+    # SRS-length vectors), not a step verifier index; it endo-maps the
+    # prechallenges into Fp natively (ipa.batch_decide)
     from ..curves.srs import load_srs
 
     sg_affine = load_srs("vesta", 1 << acc_log_n(step_log_n))["g"]
     acc_ok = ipa.batch_decide(
         VESTA,
         jnp.asarray(sg_affine),
-        dtips.acc_chals,
+        dtips.acc_prechals,
         dtips.acc_sg,
         rand_weights[:, 2],
     )
     return jnp.logical_and(jnp.logical_and(wrap_ok, digest_ok), acc_ok)
 
 
-def _shift_right_128(c: jax.Array) -> jax.Array:
-    """(...,NLIMBS) canonical 13-bit limbs -> limbs of (value >> 128)."""
-    l = c[..., 9:]  # 128 = 9*13 + 11: drop 9 limbs, then shift 11 bits
-    nxt = jnp.concatenate([l[..., 1:], jnp.zeros_like(l[..., :1])], axis=-1)
-    out = (l >> 11) | ((nxt & ((1 << 11) - 1)) << 2)
-    pad = jnp.zeros(c.shape[:-1] + (NLIMBS - out.shape[-1],), c.dtype)
-    return jnp.concatenate([out, pad], axis=-1)
-
-
-def _device_deferred_digest(acc_chals: jax.Array, acc_sg: jax.Array):
-    """Batched Fq poseidon digest mirroring deferred_digest_host."""
+def _device_deferred_digest(acc_prechals: jax.Array, acc_sg: jax.Array):
+    """Batched Fq poseidon digest mirroring deferred_digest_host:
+    absorb the raw 128-bit prechallenges directly, then sg."""
     from ..hash import poseidon
     from ..hash.poseidon_params import poseidon_spec
 
-    B, k = acc_chals.shape[:2]
+    B, k = acc_prechals.shape[:2]
     mask = jnp.asarray(ipa._MASK128)
-    ops: list = []
-    for i in range(k):
-        c = acc_chals[:, i]
-        ops.append(("absorb", c & mask))
-        ops.append(("absorb", _shift_right_128(c)))
+    ops: list = [("absorb", acc_prechals[:, i] & mask) for i in range(k)]
     ops += [("absorb", acc_sg[:, 0]), ("absorb", acc_sg[:, 1])]
     ops.append(("squeeze",))
     (digest,), _ = poseidon.run_transcript(

@@ -4,8 +4,10 @@ Host layer: the wrap proof carries pallas-side recursion accumulators
 (prev_challenges) which the verifier re-opens inside its single MSM;
 the step proof's vesta-side accumulator is checked by the batched
 decider MSM. Device layer: batch_verify_tips runs both programs on the
-canonical tip shape (B=2, wrap n=128 with the deferred-values gadget
-rows, step n=16, R=2).
+canonical tip shape (B=2, wrap n=2^10 with the step-transcript-replay
+gadget rows, step n=16, R=2). The wrap circuit REPLAYS the step proof's
+Fiat-Shamir transcript in-circuit and binds the derived folding
+prechallenges into the deferred-values digest (PARITY D7).
 """
 
 import random
@@ -46,6 +48,13 @@ def _rw(B, seed=7):
     )
 
 
+def _endo_chals(prechals):
+    return [
+        ipa.endo_to_field(c, VESTA.endo_scalar, VESTA.scalar.p)
+        for c in prechals
+    ]
+
+
 def test_host_wrap_carries_accumulators(tips):
     tip1, tip2 = tips
     _, w_index, _, w_g, w_h = pk.block_setup()
@@ -55,8 +64,11 @@ def test_host_wrap_carries_accumulators(tips):
 
 
 def test_host_step_accumulator_decides(tips):
+    """The accumulator carries raw PRE-challenges; endo-mapping them in
+    the native Fp side must reproduce sg = <s(chals), G>."""
     tip1, _ = tips
-    s = ipa.host_s_vector(tip1.step_acc_chals, VESTA.scalar.p)
+    chals = _endo_chals(tip1.step_acc_prechals)
+    s = ipa.host_s_vector(chals, VESTA.scalar.p)
     _, _, _, s_g, _ = pk.step_setup()
     assert hc.msm(VESTA, s, s_g) == tip1.step_acc_sg
 
@@ -84,7 +96,7 @@ def test_device_batch_verify_tips(tips):
     # corrupt step accumulator -> decider rejects (same compiled shape)
     bad = pk.DeviceTips(
         wrap=dtips.wrap,
-        acc_chals=dtips.acc_chals.at[1, 0, 0].add(1),
+        acc_prechals=dtips.acc_prechals.at[1, 0, 0].add(1),
         acc_sg=dtips.acc_sg,
     )
     assert not bool(pk.batch_verify_tips(bad, rw))
@@ -96,7 +108,7 @@ def test_device_batch_verify_tips(tips):
         dtips.wrap, prev_chals=dtips.wrap.prev_chals.at[0, 0, 0, 0].add(1)
     )
     bad2 = pk.DeviceTips(
-        wrap=bad_wrap, acc_chals=dtips.acc_chals, acc_sg=dtips.acc_sg
+        wrap=bad_wrap, acc_prechals=dtips.acc_prechals, acc_sg=dtips.acc_sg
     )
     assert not bool(pk.batch_verify_tips(bad2, rw))
 
@@ -111,57 +123,102 @@ def test_deferred_digest_binds_accumulator(tips):
     rw = _rw(2)
     swapped = pk.DeviceTips(
         wrap=dtips.wrap,
-        acc_chals=dtips.acc_chals[::-1],
+        acc_prechals=dtips.acc_prechals[::-1],
         acc_sg=dtips.acc_sg[::-1],
     )
     assert not bool(pk.batch_verify_tips(swapped, rw))
 
     # host digest matches the wrap public input's second element
     assert tip1.wrap.public[1] == pk.deferred_digest_host(
-        tip1.step_acc_chals, tip1.step_acc_sg
+        tip1.step_acc_prechals, tip1.step_acc_sg
     )
 
 
-def test_wrap_circuit_computes_digest_in_circuit(tips):
-    """PARITY D7 gadget: the wrap circuit itself hashes the accumulator
-    preimage (in-circuit poseidon sponge) and pins public input 1 to the
-    result — a wrap witness with a wrong digest is UNPROVABLE."""
-    tip1, _ = tips
+def _honest_wrap_witness(tip, state_hash=1):
+    """Rebuild the honest wrap witness for tip's step proof (the same
+    construction prove_tip uses), returning (witness, public, gadget,
+    circuit pieces, the step absorb values)."""
     from mina_bridge_tpu.kimchi.circuit import COLUMNS
 
+    s_circuit, s_index, _, s_g, s_h = pk.step_setup()
     w_circuit, gadget, w_index, _, w_g, w_h = pk.wrap_setup()
     fs = PALLAS.scalar
     w = [[0] * w_circuit.n for _ in range(COLUMNS)]
-    pre = []
-    for c in tip1.step_acc_chals:
-        lo, hi = ipa._split_scalar(VESTA, c)
-        pre += [lo, hi]
-    pre += [tip1.step_acc_sg[0], tip1.step_acc_sg[1]]
-    digest = pk._sponge_fill(w, gadget, pre, fs)
-    # in-circuit sponge == host sponge
-    assert digest == pk.deferred_digest_host(
-        tip1.step_acc_chals, tip1.step_acc_sg
+    # recover the step proof from the tip: prove_tip is deterministic
+    # only with its rng, so re-derive the absorb values from the step
+    # side by re-proving with the same seed is overkill — instead use
+    # the wrap fixture path: replay from tip's own step data is not
+    # possible without the step proof, so prove a fresh one here.
+    rng = random.Random(0xDEAD)
+    sp = VESTA.scalar.p
+    sw = [[0] * s_circuit.n for _ in range(COLUMNS)]
+    sw[0][0] = state_hash % sp
+    step_proof = prover_host.prove(
+        s_index, s_circuit, sw, [state_hash % sp], s_g, s_h, rng
     )
-    # honest witness proves
+    vals = pk._step_absorb_values(s_index, step_proof, s_g, s_h)
+    return w, gadget, w_circuit, w_index, w_g, w_h, step_proof, vals
+
+
+def test_wrap_circuit_replays_step_transcript(tips):
+    """PARITY D7 gadget: the wrap circuit replays the step proof's
+    Fiat-Shamir transcript and binds the derived folding prechallenges
+    into the deferred digest. A witness claiming an accumulator whose
+    prechallenges weren't derived from the absorbed commitments — e.g.
+    after tampering one step commitment coordinate — is UNPROVABLE."""
+    fs = PALLAS.scalar
+    (w, gadget, w_circuit, w_index, w_g, w_h, step_proof, vals) = (
+        _honest_wrap_witness(None)
+    )
+    prechals = list(step_proof.opening.prechals)
+    sg = step_proof.opening.sg
+
+    # honest fill: replay + prechal extraction + digest
+    w[gadget["dig_cell"][0]][gadget["dig_cell"][1]] = gadget["dig_value"]
+    squeezes = pk._transcript_fill(w, gadget["replay"], vals, fs)
+    los = [
+        pk._prechal_fill(w, pg, squeezes[i], fs.p)
+        for pg, i in zip(gadget["prechals"], gadget["chal_sq"])
+    ]
+    assert los == prechals, "in-circuit replay == IPA prover transcript"
+    [digest] = pk._transcript_fill(
+        w, gadget["digest"], los + [sg[0], sg[1]], fs
+    )
+    assert digest == pk.deferred_digest_host(prechals, sg)
     w[0][0], w[0][1] = 1, digest
-    rng = random.Random(3)
-    pr = prover_host.prove(w_index, w_circuit, w, [1, digest], w_g, w_h, rng)
-    assert prover_host.host_verify(w_index, pr, w_g, w_h)
-    # wrong digest: the copy constraint to the gadget output fails
-    bad_digest = (digest + 1) % fs.p
-    w[0][1] = bad_digest
-    with pytest.raises(AssertionError):
-        prover_host.prove(
-            w_index, w_circuit, w, [1, bad_digest], w_g, w_h, rng
-        )
-    # tampered preimage (different accumulator, same digest claim):
-    # the poseidon rows no longer hash to the claimed digest
+    w_circuit.check_witness(w, [1, digest])
+
+    # tamper ONE absorbed step commitment coordinate: the replayed
+    # squeezes diverge, so the digest preimage (the claimed honest
+    # accumulator) no longer matches the in-circuit derivation
+    from mina_bridge_tpu.kimchi.circuit import COLUMNS
+
     w2 = [[0] * w_circuit.n for _ in range(COLUMNS)]
-    pre2 = list(pre)
-    pre2[0] = (pre2[0] + 1) % fs.p
-    pk._sponge_fill(w2, gadget, pre2, fs)
+    w2[gadget["dig_cell"][0]][gadget["dig_cell"][1]] = gadget["dig_value"]
+    vals2 = list(vals)
+    vals2[3] = (vals2[3] + 1) % fs.p  # a w_comm coordinate
+    sq2 = pk._transcript_fill(w2, gadget["replay"], vals2, fs)
+    assert sq2 != squeezes
+    for pg, i in zip(gadget["prechals"], gadget["chal_sq"]):
+        pk._prechal_fill(w2, pg, sq2[i], fs.p)
+    # claim the HONEST accumulator in the digest anyway
+    pk._transcript_fill(w2, gadget["digest"], los + [sg[0], sg[1]], fs)
     w2[0][0], w2[0][1] = 1, digest
     with pytest.raises(AssertionError):
-        prover_host.prove(
-            w_index, w_circuit, w2, [1, digest], w_g, w_h, rng
-        )
+        w_circuit.check_witness(w2, [1, digest])
+
+    # pinned step-index digest: claiming a transcript for a DIFFERENT
+    # step circuit (wrong leading absorb) is equally unprovable
+    w3 = [[0] * w_circuit.n for _ in range(COLUMNS)]
+    # dig_cell left honest: the tampered leading absorb now disagrees
+    # with the pinned constant through the copy constraint
+    w3[gadget["dig_cell"][0]][gadget["dig_cell"][1]] = gadget["dig_value"]
+    vals3 = list(vals)
+    vals3[0] = (vals3[0] + 1) % fs.p
+    sq3 = pk._transcript_fill(w3, gadget["replay"], vals3, fs)
+    for pg, i in zip(gadget["prechals"], gadget["chal_sq"]):
+        pk._prechal_fill(w3, pg, sq3[i], fs.p)
+    pk._transcript_fill(w3, gadget["digest"], los + [sg[0], sg[1]], fs)
+    w3[0][0], w3[0][1] = 1, digest
+    with pytest.raises(AssertionError):
+        w_circuit.check_witness(w3, [1, digest])

@@ -1,9 +1,10 @@
 """Chunked Pickles pipeline at toy scale: the real Proof-of-State shape
 (wrap/step domains larger than the SRS, reference README.md:485-486) is
 wrap 2^17 / step 2^18 over the 2^16 SRS; these tests run the identical
-chunked code path with a monkeypatched 2^4-point "SRS" so the whole
-prove_tip -> batch_verify_tips pipeline (deferred-values gadget,
-accumulator re-opening, decider MSM) executes in seconds.
+chunked code path with a monkeypatched 2^9-point "SRS" so the whole
+prove_tip -> batch_verify_tips pipeline (step-transcript replay,
+deferred-values digest, accumulator re-opening, decider MSM) executes
+in seconds.
 """
 
 import copy
@@ -18,9 +19,9 @@ from mina_bridge_tpu.fields.params import NLIMBS, int_to_limbs
 from mina_bridge_tpu.pickles import fixtures as pfx
 from mina_bridge_tpu.pickles import verifier as pv
 
-TOY_SRS_LOG = 5
-TOY_BLOCK_LOG = 7  # wrap c = 4 (gadget needs ~90 rows)
-TOY_STEP_LOG = 6  # step c = 2
+TOY_SRS_LOG = 9
+TOY_BLOCK_LOG = 11  # wrap c = 4 (the replay gadget needs ~1400 rows)
+TOY_STEP_LOG = 10  # step c = 2
 
 
 def _clear_setup_caches():
@@ -68,7 +69,7 @@ def rand_weights(B, seed=3):
 def test_chunked_tips_shapes(toy_tips):
     t = toy_tips[0]
     # accumulators fold over the SRS, not the domain
-    assert len(t.step_acc_chals) == TOY_SRS_LOG
+    assert len(t.step_acc_prechals) == TOY_SRS_LOG
     assert len(t.wrap.opening.chals) == TOY_SRS_LOG
     # the wrap proof is chunked 4-ways
     from mina_bridge_tpu.kimchi.prover_host import N_OPENED, as_chunks
@@ -89,7 +90,7 @@ def test_chunked_batch_verify_tips(toy_tips):
 def test_chunked_tips_tampered_rejected(toy_tips):
     # tampering the step accumulator breaks the deferred digest binding
     bad = copy.deepcopy(toy_tips)
-    bad[1].step_acc_chals[0] = (bad[1].step_acc_chals[0] + 1) % PALLAS.scalar.p
+    bad[1].step_acc_prechals[0] = (bad[1].step_acc_prechals[0] + 1) % PALLAS.scalar.p
     dtips = pv.device_proofs(bad)
     assert not bool(
         pv.batch_verify_tips(

@@ -25,7 +25,7 @@ def test_tip_proof_roundtrip_bytes(tip):
     blob2 = pw.encode_tip_proof(tip2)
     assert blob == blob2, "encode(decode(encode)) not byte-identical"
     # structural identity of every component
-    assert tip2.step_acc_chals == tip.step_acc_chals
+    assert tip2.step_acc_prechals == tip.step_acc_prechals
     assert tip2.step_acc_sg == tip.step_acc_sg
     assert tip2.wrap.public == tip.wrap.public
     assert [list(e) for e in tip2.wrap.evals] == [

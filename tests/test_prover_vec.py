@@ -47,17 +47,26 @@ def test_quotient_vec_matches_py_simple():
 
 
 def test_quotient_vec_matches_py_gate_rich():
-    """The pickles wrap circuit carries poseidon permutation spans and
-    generic add rows — nonzero selectors exercise the vectorized gate
-    constraint evaluators beyond the mul/add pair."""
+    """A transcript-replay-style circuit carries poseidon permutation
+    spans, generic add/const rows and endomulscalar crumb chains (the
+    wrap circuit's gadget set) — nonzero selectors exercise the
+    vectorized gate constraint evaluators beyond the mul/add pair."""
+    from mina_bridge_tpu.curves import PALLAS
+    from mina_bridge_tpu.curves.srs import srs_points_host
+    from mina_bridge_tpu.kimchi.circuit import CircuitBuilder
     from mina_bridge_tpu.pickles import verifier as pv
 
-    circuit, gadget, index, _dindex, g, h = pv.wrap_setup(7, 4)
-    wp = circuit.domain.field.p
+    b = CircuitBuilder(PALLAS.scalar, 7)
+    b.public_input()
+    tg = pv._transcript_gadget(b, ["absorb"] * 4 + ["squeeze"])
+    pg = pv._prechal_gadget(b, tg["squeeze"][0])
+    circuit = b.build()
+    g, h = srs_points_host("pallas", circuit.n)
+    index = prover_host.setup(circuit, PALLAS, g, h)
     w = [[0] * circuit.n for _ in range(15)]
-    preimage = list(range(1, 2 * (4 + 1) + 1))
-    digest = pv._sponge_fill(w, gadget, preimage, circuit.domain.field)
-    public = [123456789 % wp, digest]
-    w[0][0], w[0][1] = public
+    [sq] = pv._transcript_fill(w, tg, [1, 2, 3, 4], PALLAS.scalar)
+    pv._prechal_fill(w, pg, sq, PALLAS.scalar.p)
+    public = [55]
+    w[0][0] = 55
     d_vec, d_py = _prove_both(index, circuit, w, public, g, h, seed=5)
     assert d_vec == d_py
