@@ -110,13 +110,13 @@ def bench_msm():
 MSM_MS = None
 
 
-def bench_verifier():
+def bench_verifier(max_batch: int = 32):
     """Batched kimchi verify at n=2^16 from the committed fixture.
 
-    Prefers the B=8 fixture (the transcript's sequential poseidon chain
-    dominates wall time and is batch-invariant, so proofs/s scales
-    nearly linearly with B until the per-proof MSM rows catch up);
-    falls back to B=2."""
+    Prefers the largest committed fixture (the transcript's sequential
+    poseidon chain dominates wall time and is batch-invariant, so
+    proofs/s scales nearly linearly with B until the per-proof MSM rows
+    catch up); falls back through smaller batches."""
     from mina_bridge_tpu.curves.srs import srs_points_host
     from mina_bridge_tpu.fields.params import NLIMBS, int_to_limbs
     from mina_bridge_tpu.kimchi import bench_fixtures as bf, verifier
@@ -126,7 +126,12 @@ def bench_verifier():
     # 2.44 s at B=8 vs 2.52 s at B=16 on the attached TPU), so proofs/s
     # scales ~linearly with the batch
     batch = next(
-        (b for b in (32, 16, 8) if bf.fixture_path(16, b).exists()), 2
+        (
+            b
+            for b in (32, 16, 8)
+            if b <= max_batch and bf.fixture_path(16, b).exists()
+        ),
+        2,
     )
     index, proofs = bf.get_fixture(16, batch)
     if batch == 2:
@@ -349,13 +354,21 @@ def main():
 
     elapsed = time.time() - START
     if elapsed < BUDGET_S * 0.75:
-        try:
-            vps = bench_verifier()
-            if vps is not None:
-                result["kimchi_verify_2e16_proofs_per_sec"] = round(vps, 3)
-                print(json.dumps(result), flush=True)
-        except Exception as e:
-            log("verifier bench failed:", repr(e))
+        # the relayed device's remote-compile endpoint has been seen to
+        # drop very large executables mid-transfer; retry once, then
+        # fall back to the next-smaller committed batch shape
+        for max_batch in (32, 32, 16, 8):
+            try:
+                vps = bench_verifier(max_batch=max_batch)
+                if vps is not None:
+                    result["kimchi_verify_2e16_proofs_per_sec"] = round(vps, 3)
+                    print(json.dumps(result), flush=True)
+                break
+            except Exception as e:
+                log(f"verifier bench failed (max B={max_batch}):", repr(e))
+            if time.time() - START > BUDGET_S * 0.85:
+                log("verifier retry budget exhausted")
+                break
     else:
         log(f"skipping verifier bench (elapsed {elapsed:.0f}s)")
 
