@@ -467,9 +467,28 @@ def neg(spec: FieldSpec, a: jax.Array) -> jax.Array:
     return sub(spec, zeros(spec), a)
 
 
+def _chain_kernel_mode() -> str:
+    """auto (kernel on TPU for long chains) | on | off | interpret."""
+    import os
+
+    return os.environ.get("MINA_BRIDGE_TPU_CHAIN_KERNEL", "auto")
+
+
 def pow_const(spec: FieldSpec, x: jax.Array, e: int) -> jax.Array:
     if e == 0:
         return jnp.broadcast_to(ones(spec), x.shape).astype(jnp.int32)
+    # Long fixed-exponent ladders (Fermat inversion: ~254 sequential
+    # square/mul steps) run as ONE Pallas kernel on TPU — the lax.scan
+    # formulation's tiny fused ops are latency-bound on the transcript
+    # critical path (see fields/chain_kernel.py).
+    kmode = _chain_kernel_mode()
+    if e.bit_length() >= 32 and (
+        kmode in ("on", "interpret")
+        or (kmode == "auto" and _chain_kernel().use_kernel())
+    ):
+        return _chain_kernel().pow_const_rows(
+            spec, x, e, interpret=(kmode == "interpret")
+        )
     bits = np.array(
         [(e >> i) & 1 for i in reversed(range(e.bit_length()))], dtype=np.int32
     )
@@ -481,6 +500,13 @@ def pow_const(spec: FieldSpec, x: jax.Array, e: int) -> jax.Array:
 
     acc, _ = jax.lax.scan(body, x, jnp.asarray(bits[1:]))
     return acc
+
+
+@functools.cache
+def _chain_kernel():
+    from . import chain_kernel
+
+    return chain_kernel
 
 
 def inv(spec: FieldSpec, x: jax.Array) -> jax.Array:

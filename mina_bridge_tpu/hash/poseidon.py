@@ -16,6 +16,7 @@ permutation stream.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +24,14 @@ import numpy as np
 
 from ..fields import ff, ffl
 from ..fields.params import NLIMBS, FieldSpec, int_to_limbs
+from . import transcript_kernel
 from .poseidon_params import RATE, WIDTH, PoseidonSpec, poseidon_spec
+
+
+def _transcript_kernel_mode() -> str:
+    """auto (default: kernel on TPU, scan on CPU) | on | off | interpret
+    (kernel semantics on CPU via the Pallas interpreter — the test path)."""
+    return os.environ.get("MINA_BRIDGE_TPU_TRANSCRIPT_KERNEL", "auto")
 
 __all__ = [
     "poseidon_spec",
@@ -292,15 +300,25 @@ def run_transcript(
                 arr = jnp.broadcast_to(arr, bshape + (L,)).astype(jnp.int32)
                 adds = adds.at[t, pos].add(arr)
 
-        def body(st, add_t):
-            for i in range(RATE):
-                st = st.at[..., i, :].set(
-                    ffl.add(ps.field, st[..., i, :], add_t[i])
-                )
-            st = permute(ps, st)
-            return st, st
+        kmode = _transcript_kernel_mode()
+        if kmode in ("on", "interpret") or (
+            kmode == "auto" and transcript_kernel.use_kernel()
+        ):
+            all_states = transcript_kernel.transcript_blocks(
+                ps, state, adds, interpret=(kmode == "interpret")
+            )
+            state = all_states[-1]
+        else:
 
-        state, all_states = jax.lax.scan(body, state, adds)
+            def body(st, add_t):
+                for i in range(RATE):
+                    st = st.at[..., i, :].set(
+                        ffl.add(ps.field, st[..., i, :], add_t[i])
+                    )
+                st = permute(ps, st)
+                return st, st
+
+            state, all_states = jax.lax.scan(body, state, adds)
         for bi, row in squeeze_map:
             squeezed.append(ffl.canon(ps.field, all_states[bi][..., row, :]))
 

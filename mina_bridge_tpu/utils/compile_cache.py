@@ -20,8 +20,11 @@ import os
 import platform
 
 
+_KEY_VERSION = "v2"  # bump to orphan every pre-fix cache entry
+
+
 def _cpu_fingerprint() -> str:
-    bits: list[str] = [platform.machine()]
+    bits: list[str] = [_KEY_VERSION, platform.machine()]
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
@@ -30,6 +33,20 @@ def _cpu_fingerprint() -> str:
                     break
     except OSError:
         bits.append(platform.processor() or "unknown")
+    # The cpuinfo flags alone are NOT sufficient: XLA's CPU target
+    # machine-feature set also carries jaxlib/XLA-synthesized
+    # pseudo-features (+prefer-no-scatter/+prefer-no-gather, seen in the
+    # round-4 stale-hit SIGILL warning) that depend on the installed
+    # jaxlib and on XLA_FLAGS — fold both into the key so a version or
+    # flag change is a clean miss instead of a miscompiled hit.
+    try:
+        from importlib.metadata import version
+
+        bits.append("jaxlib=" + version("jaxlib"))
+    except Exception:
+        bits.append("jaxlib=unknown")
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    bits.append(" ".join(sorted(xla_flags.split())))
     return hashlib.sha256("|".join(bits).encode()).hexdigest()[:12]
 
 

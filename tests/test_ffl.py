@@ -107,3 +107,16 @@ def test_square_matches_mul():
     got_r = rows.square_r(FP, ar)
     got_r = ffl.to_ints(FP, jnp.moveaxis(got_r, 0, -1))
     assert got_r == [v * v % FP.p for v in vals]
+
+
+def test_inv_chain_kernel_interpret(rng, monkeypatch):
+    """The Pallas fixed-exponent chain kernel (fields/chain_kernel.py,
+    the TPU path for Fermat inversion) matches the host oracle via the
+    Pallas interpreter on CPU, including a 2D batch shape and x == 0
+    (inv(0) == 0 by Fermat)."""
+    monkeypatch.setenv("MINA_BRIDGE_TPU_CHAIN_KERNEL", "interpret")
+    spec = FQ
+    xs = rand_elems(rng, spec, 5) + [0]
+    a = ffl.from_ints(spec, xs).reshape(2, 3, -1)
+    got = ffl.inv(spec, a).reshape(6, -1)
+    assert ffl.to_ints(spec, got) == [host.finv(spec, x) for x in xs]

@@ -63,3 +63,59 @@ def test_params_deterministic():
     b = poseidon_spec("fp")
     assert a.round_constants == b.round_constants and a.mds == b.mds
     assert len(a.round_constants) == 55
+
+
+def _host_transcript(ps, plan, xs):
+    """Drive HostSponge with the ('absorb'|'squeeze') plan; return squeezes."""
+    hsp = poseidon.HostSponge(ps)
+    it = iter(xs)
+    out = []
+    for op in plan:
+        if op == "absorb":
+            hsp.absorb(next(it))
+        else:
+            out.append(hsp.squeeze())
+    return out
+
+
+@pytest.mark.parametrize("mode", ["off", "interpret"])
+def test_run_transcript_matches_host(rng, mode, monkeypatch):
+    """The scheduled-scan path AND the Pallas whole-transcript kernel
+    (interpret mode on CPU) both match the host sponge bit-exactly on an
+    irregular absorb/squeeze schedule, including a continuation sponge
+    with trailing un-permuted absorbs."""
+    monkeypatch.setenv("MINA_BRIDGE_TPU_TRANSCRIPT_KERNEL", mode)
+    ps = poseidon_spec("fq")
+    B = 3
+    plan = (
+        ["absorb"] * 3 + ["squeeze"] * 2 + ["absorb"] * 4 + ["squeeze"]
+        + ["absorb"] * 2 + ["squeeze"] * 3 + ["absorb"]  # trailing absorb
+    )
+    n_abs = plan.count("absorb")
+    vals = [
+        [rng.randrange(ps.field.p) for _ in range(B)] for _ in range(n_abs)
+    ]
+    ops = []
+    it = iter(vals)
+    for op in plan:
+        if op == "absorb":
+            ops.append(("absorb", ff.from_ints(ps.field, next(it))))
+        else:
+            ops.append(("squeeze",))
+    sq, cont = poseidon.run_transcript(ps, ops, batch_shape=(B,))
+    # continuation: squeeze once more through the stateful sponge
+    extra = cont.squeeze()
+    for b in range(B):
+        want = _host_transcript(
+            ps, plan, [vals[i][b] for i in range(n_abs)]
+        )
+        got = [ff.to_ints(s)[b] for s in sq]
+        assert got == want, f"squeeze mismatch lane {b} mode {mode}"
+        hsp = poseidon.HostSponge(ps)
+        it2 = iter([vals[i][b] for i in range(n_abs)])
+        for op in plan:
+            if op == "absorb":
+                hsp.absorb(next(it2))
+            else:
+                hsp.squeeze()
+        assert ff.to_ints(extra)[b] == hsp.squeeze()
