@@ -283,7 +283,7 @@ def bench_pickles():
     from mina_bridge_tpu.pickles import verifier as pv
 
     path = None
-    for b in (4, 2):
+    for b in (8, 4, 2):
         cand = pfx.fixture_path(pv.REAL_BLOCK_LOG_N, pv.REAL_STEP_LOG_N, b)
         if cand.exists():
             path = cand
@@ -293,6 +293,13 @@ def bench_pickles():
         return None
     t0 = time.time()
     bln, sln, tips, host_index = pfx.load_tips(path)
+    # a fixture mid-generation (checkpoint-per-tip) may hold fewer tips
+    # than its filename batch: truncate to the largest power of two so
+    # the compiled shape stays canonical
+    pow2 = 1 << (len(tips).bit_length() - 1)
+    if len(tips) != pow2:
+        log(f"truncating {len(tips)}-tip fixture to B={pow2}")
+        tips = tips[:pow2]
     g, h = pv._srs_for("pallas", host_index.domain.n)
     dindex = kv.DeviceVerifierIndex.from_host(host_index, g, h)
     dtips = pv.device_proofs(tips)
