@@ -276,7 +276,9 @@ def bench_pickles():
     2^16 SRS (chunked commitments) through pickles.batch_verify_tips,
     from the committed fixture (reference README.md:485-486; BASELINE
     config 5). One batched wrap verification (single MSM, accumulators
-    re-opened inside) + the Vesta-side decider MSM."""
+    re-opened inside) + one batched step (Vesta) verification of the
+    wrapped step proofs when the fixture carries them (PARITY D7 device
+    path), else the legacy Vesta-side decider MSM."""
     from mina_bridge_tpu.fields.params import NLIMBS, int_to_limbs
     from mina_bridge_tpu.kimchi import verifier as kv
     from mina_bridge_tpu.pickles import fixtures as pfx
@@ -292,7 +294,7 @@ def bench_pickles():
         log("no committed pickles fixture; skipping tip-verify bench")
         return None
     t0 = time.time()
-    bln, sln, tips, host_index = pfx.load_tips(path)
+    bln, sln, tips, host_index, step_host_index = pfx.load_tips(path)
     # a fixture mid-generation (checkpoint-per-tip) may hold fewer tips
     # than its filename batch: truncate to the largest power of two so
     # the compiled shape stays canonical
@@ -302,33 +304,66 @@ def bench_pickles():
         tips = tips[:pow2]
     g, h = pv._srs_for("pallas", host_index.domain.n)
     dindex = kv.DeviceVerifierIndex.from_host(host_index, g, h)
+    step_dindex = None
+    if step_host_index is not None and tips[0].step is not None:
+        sg_, sh_ = pv._srs_for("vesta", step_host_index.domain.n)
+        step_dindex = kv.DeviceVerifierIndex.from_host(step_host_index, sg_, sh_)
     dtips = pv.device_proofs(tips)
     B = len(tips)
     log(
         f"pickles fixture ready in {time.time()-t0:.1f}s "
-        f"(wrap 2^{bln}, step 2^{sln}, B={B})"
+        f"(wrap 2^{bln}, step 2^{sln}, B={B}, "
+        f"step proofs {'on-device' if step_dindex is not None else 'LEGACY decider'})"
     )
     rng = np.random.RandomState(11)
 
     def fresh_rw():
-        rw = np.zeros((B, 3, NLIMBS), np.int32)
+        rw = np.zeros((B, 5, NLIMBS), np.int32)
         for bi in range(B):
-            for j in range(3):
+            for j in range(5):
                 rw[bi, j] = int_to_limbs(
                     int.from_bytes(rng.bytes(16), "little"), NLIMBS
                 )
         return jnp.asarray(rw)
 
-    def run():
-        return pv.batch_verify_tips(
-            dtips, fresh_rw(), log_n=bln, step_log_n=sln, dindex=dindex
-        )
+    def make_run(tips_dev, sd):
+        def run():
+            return pv.batch_verify_tips(
+                tips_dev, fresh_rw(), log_n=bln, step_log_n=sln,
+                dindex=dindex, step_dindex=sd,
+            )
 
-    t0 = time.time()
-    ok = bool(np.asarray(run()))
-    log(f"pickles verify compile+first run: {time.time()-t0:.1f}s, ok={ok}")
-    if not ok:
-        log("pickles fixture REJECTED — not reporting throughput")
+        return run
+
+    # fallback chain (relay can drop very large executables mid-transfer;
+    # the step 2^18 graph is the biggest we ship): full D7 step path
+    # first, then the legacy decider path on the same tips.
+    import dataclasses as _dc
+
+    attempts = [("step", dtips, step_dindex)]
+    if step_dindex is not None:
+        attempts.append(("legacy", _dc.replace(dtips, step=None), None))
+    run = None
+    for name, tips_dev, sd in attempts:
+        cand = make_run(tips_dev, sd)
+        t0 = time.time()
+        try:
+            ok = bool(np.asarray(cand()))
+        except Exception as e:
+            log(f"pickles {name} path failed ({type(e).__name__}: {e}); "
+                "falling back" if name == "step" else f"pickles {name} path failed")
+            continue
+        log(
+            f"pickles verify compile+first run [{name}]: "
+            f"{time.time()-t0:.1f}s, ok={ok}"
+        )
+        if not ok:
+            log("pickles fixture REJECTED — not reporting throughput")
+            return None
+        run = cand
+        break
+    if run is None:
+        log("pickles bench: all paths failed")
         return None
     iters = 3
     t0 = time.time()

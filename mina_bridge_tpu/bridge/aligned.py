@@ -106,7 +106,15 @@ def save_proof_files(
 class TpuVerifierService:
     """The batcher+operator replacement: verify, then batch-commit."""
 
-    def __init__(self, block_log_n: int | None = None, on_batch_root=None):
+    def __init__(
+        self,
+        block_log_n: int | None = None,
+        on_batch_root=None,
+        step_log_n: int | None = None,
+        dindex=None,
+        step_dindex=None,
+        require_step_proofs: bool = True,
+    ):
         if block_log_n is None:
             # track the pickles wrap fixture domain: a stale literal here
             # broke every default-constructed service when the wrap
@@ -115,6 +123,15 @@ class TpuVerifierService:
 
             block_log_n = BLOCK_LOG_N
         self.block_log_n = block_log_n
+        self.step_log_n = step_log_n  # None -> pickles default
+        # optional preloaded wrap/step verifier indexes (fixture-backed;
+        # skips multi-minute setup at real scale)
+        self.dindex = dindex
+        self.step_dindex = step_dindex
+        # adversarial submissions MUST carry the wrapped step proof so
+        # verification is fully on-device (PARITY D7); legacy
+        # accumulator-only tips are only acceptable from trusted fixtures
+        self.require_step_proofs = require_step_proofs
         self.pending: list[tuple[bytes, bytes, bytes]] = []
         # operator hook: post the batch root to the on-chain registry
         self.on_batch_root = on_batch_root
@@ -139,11 +156,23 @@ class TpuVerifierService:
         hand (the RLC/hint-binding soundness precondition, PARITY D11)."""
         from ..pickles import verifier as pickles
 
+        if self.require_step_proofs and any(
+            t.step is None for t in tip_proofs_host
+        ):
+            return [
+                vs.StateVerificationResult(
+                    False, "tip proof missing wrapped step proof"
+                )
+                for _ in pubs
+            ]
         dtips = pickles.device_proofs(tip_proofs_host)
         if rand_weights is None:
             rand_weights = vs.system_rand_weights(len(pubs))
         results = vs.verify_states_batch(
-            pubs, proofs, self.block_log_n, dtips, rand_weights
+            pubs, proofs, self.block_log_n, dtips, rand_weights,
+            step_log_n=self.step_log_n,
+            dindex=self.dindex,
+            step_dindex=self.step_dindex,
         )
         from .sol_codec import encode_state_pub_inputs_evm
 

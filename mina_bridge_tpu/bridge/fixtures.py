@@ -139,6 +139,7 @@ def dummy_tip_doc() -> dict:
                 "u_hints": {"sel": 0, "y": 0, "w0": 0, "w1": 0, "alpha": 0},
             },
         },
+        "step_proof": None,
     }
 
 

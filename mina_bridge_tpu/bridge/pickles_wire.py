@@ -59,7 +59,10 @@ OPENING = bp.Record(
     ),
 )
 
-WRAP_PROOF = bp.Record(
+# A kimchi proof (wrap OR step side: both are HostProof instances; the
+# reference's MinaBaseProofStableV2 nests the same PicklesProofProofsVerified2
+# proof record)
+KIMCHI_PROOF = bp.Record(
     ("public", bp.List(bp.Field())),
     ("prev_challenges", bp.List(ACCUMULATOR)),
     (
@@ -78,7 +81,11 @@ WRAP_PROOF = bp.Record(
     ("opening", OPENING),
 )
 
-# MinaBaseProofStableV2 counterpart: versioned {statement, wrap proof}
+# MinaBaseProofStableV2 counterpart: versioned {statement, wrap proof,
+# wrapped step proof}. Version 3 adds the step proof so the verifier
+# service can run the on-device step verification (PARITY D7) on
+# adversarial submissions; Option keeps legacy v2-shaped envelopes
+# (step_proof=None) decodable under the same descriptor.
 TIP_PROOF = bp.Versioned(
     bp.Record(
         (
@@ -88,9 +95,10 @@ TIP_PROOF = bp.Versioned(
                 ("step_acc_sg", POINT),
             ),
         ),
-        ("proof", WRAP_PROOF),
+        ("proof", KIMCHI_PROOF),
+        ("step_proof", bp.Option(KIMCHI_PROOF)),
     ),
-    version=2,
+    version=3,
 )
 
 
@@ -114,57 +122,46 @@ def _comm_unwire(v):
     return pts[0] if len(pts) == 1 else pts
 
 
-def tip_doc(tip) -> dict:
-    """pickles.TipProof -> wire value (plain dict for TIP_PROOF)."""
-    pr = tip.wrap
+def _proof_wire(pr: HostProof) -> dict:
     op = pr.opening
     return {
-        "statement": {
-            "step_acc_prechals": list(tip.step_acc_prechals),
-            "step_acc_sg": _pt_wire(tip.step_acc_sg),
+        "public": list(pr.public),
+        "prev_challenges": [
+            {"chals": list(ch), "sg": _pt_wire(sg)}
+            for ch, sg in pr.prev_challenges
+        ],
+        "commitments": {
+            "w_comm": [_comm_wire(c) for c in pr.w_comm],
+            "z_comm": _comm_wire(pr.z_comm),
+            "s_comm": [_comm_wire(c) for c in pr.s_comm],
+            "rt_comm": _comm_wire(pr.rt_comm),
+            "zl_comm": _comm_wire(pr.zl_comm),
+            "t_comm": [_pt_wire(p) for p in pr.t_comm],
         },
-        "proof": {
-            "public": list(pr.public),
-            "prev_challenges": [
-                {"chals": list(ch), "sg": _pt_wire(sg)}
-                for ch, sg in pr.prev_challenges
-            ],
-            "commitments": {
-                "w_comm": [_comm_wire(c) for c in pr.w_comm],
-                "z_comm": _comm_wire(pr.z_comm),
-                "s_comm": [_comm_wire(c) for c in pr.s_comm],
-                "rt_comm": _comm_wire(pr.rt_comm),
-                "zl_comm": _comm_wire(pr.zl_comm),
-                "t_comm": [_pt_wire(p) for p in pr.t_comm],
-            },
-            "evals": [(e0, e1) for e0, e1 in pr.evals],
-            "ft_eval1": pr.ft_eval1,
-            "opening": {
-                "lr": [(_pt_wire(L), _pt_wire(R)) for L, R in op.lr],
-                "delta": _pt_wire(op.delta),
-                "z1": op.z1,
-                "z2": op.z2,
-                "sg": _pt_wire(op.sg),
-                "chals": list(op.chals),
-                "u_hints": {
-                    "sel": op.u_hints.sel,
-                    "y": op.u_hints.y,
-                    "w0": op.u_hints.wits[0],
-                    "w1": op.u_hints.wits[1],
-                    "alpha": op.u_hints.alpha,
-                },
+        "evals": [(e0, e1) for e0, e1 in pr.evals],
+        "ft_eval1": pr.ft_eval1,
+        "opening": {
+            "lr": [(_pt_wire(L), _pt_wire(R)) for L, R in op.lr],
+            "delta": _pt_wire(op.delta),
+            "z1": op.z1,
+            "z2": op.z2,
+            "sg": _pt_wire(op.sg),
+            "chals": list(op.chals),
+            "u_hints": {
+                "sel": op.u_hints.sel,
+                "y": op.u_hints.y,
+                "w0": op.u_hints.wits[0],
+                "w1": op.u_hints.wits[1],
+                "alpha": op.u_hints.alpha,
             },
         },
     }
 
 
-def tip_from_doc(doc: dict):
-    """Wire value -> pickles.TipProof."""
+def _proof_unwire(p: dict) -> HostProof:
     from ..commitment import ipa
     from ..curves import groupmap as gm
-    from ..pickles.verifier import TipProof
 
-    p = doc["proof"]
     op = p["opening"]
     uh = op["u_hints"]
     opening = ipa.HostOpeningProof(
@@ -182,7 +179,7 @@ def tip_from_doc(doc: dict):
         ),
     )
     c = p["commitments"]
-    wrap = HostProof(
+    return HostProof(
         w_comm=[_comm_unwire(v) for v in c["w_comm"]],
         z_comm=_comm_unwire(c["z_comm"]),
         s_comm=[_comm_unwire(v) for v in c["s_comm"]],
@@ -198,11 +195,31 @@ def tip_from_doc(doc: dict):
             for a in p["prev_challenges"]
         ],
     )
+
+
+def tip_doc(tip) -> dict:
+    """pickles.TipProof -> wire value (plain dict for TIP_PROOF)."""
+    return {
+        "statement": {
+            "step_acc_prechals": list(tip.step_acc_prechals),
+            "step_acc_sg": _pt_wire(tip.step_acc_sg),
+        },
+        "proof": _proof_wire(tip.wrap),
+        "step_proof": None if tip.step is None else _proof_wire(tip.step),
+    }
+
+
+def tip_from_doc(doc: dict):
+    """Wire value -> pickles.TipProof."""
+    from ..pickles.verifier import TipProof
+
     st = doc["statement"]
+    step = doc.get("step_proof")
     return TipProof(
-        wrap=wrap,
+        wrap=_proof_unwire(doc["proof"]),
         step_acc_prechals=list(st["step_acc_prechals"]),
         step_acc_sg=_pt_unwire(st["step_acc_sg"]),
+        step=None if step is None else _proof_unwire(step),
     )
 
 

@@ -48,7 +48,7 @@ def _to_limbs_arr(vals: list[int]) -> jnp.ndarray:
 
 
 def system_rand_weights(batch: int) -> jnp.ndarray:
-    """(B, 3, NLIMBS) verifier randomness from OS entropy.
+    """(B, 5, NLIMBS) verifier randomness from OS entropy.
 
     The batch-RLC and hint-binding soundness arguments (PARITY D11)
     assume weights unpredictable to the prover and sampled AFTER the
@@ -56,13 +56,21 @@ def system_rand_weights(batch: int) -> jnp.ndarray:
     this itself on receipt of a batch; explicit rand_weights parameters
     exist only as test seams. Components 0-1 weight the wrap-side
     (Pallas-scalar) opening combine; component 2 is the Vesta-scalar
-    step-accumulator decider weight."""
+    legacy accumulator-decider weight; components 3-4 weight the
+    step-proof (Vesta-scalar) opening combine (pickles
+    batch_verify_tips' on-device step verification, PARITY D7)."""
     import secrets
 
     from ..curves import PALLAS, VESTA
 
     rng = secrets.SystemRandom()
-    mods = (PALLAS.scalar.p, PALLAS.scalar.p, VESTA.scalar.p)
+    mods = (
+        PALLAS.scalar.p,
+        PALLAS.scalar.p,
+        VESTA.scalar.p,
+        VESTA.scalar.p,
+        VESTA.scalar.p,
+    )
     return jnp.asarray(
         np.array(
             [
@@ -86,12 +94,13 @@ def verify_proof_of_state(
     block_log_n: int,
     tip_proof_device: "pickles.DeviceTips",
     rand_weights,
+    **kw,
 ) -> StateVerificationResult:
     """Single-proof Proof-of-State: a batch of one on the batched path
     (verify_states_batch), so the pub-input / linkage / consensus / tip
     checks exist exactly once."""
     [result] = verify_states_batch(
-        [pub], [proof], block_log_n, tip_proof_device, rand_weights
+        [pub], [proof], block_log_n, tip_proof_device, rand_weights, **kw
     )
     return result
 
@@ -122,6 +131,9 @@ def _tip_verdicts(
     tip_proofs_device: "pickles.DeviceTips",
     rand_weights,
     block_log_n: int,
+    step_log_n: int | None = None,
+    dindex=None,
+    step_dindex=None,
 ) -> dict[int, bool]:
     """Per-proof tip verdicts for the given batch indices.
 
@@ -144,7 +156,12 @@ def _tip_verdicts(
         tp = jax.tree.map(lambda x: x[sel], tip_proofs_device)
         rw = rand_weights[sel]
         tp, rw = _pad_batch(tp, rw)
-        if bool(pickles.batch_verify_tips(tp, rw, log_n=block_log_n)):
+        if bool(
+            pickles.batch_verify_tips(
+                tp, rw, log_n=block_log_n, step_log_n=step_log_n,
+                dindex=dindex, step_dindex=step_dindex,
+            )
+        ):
             for i in sub:
                 verdicts[i] = True
         elif len(sub) == 1:
@@ -248,6 +265,9 @@ def verify_states_batch(
     block_log_n: int,
     tip_proofs_device: "pickles.DeviceTips",
     rand_weights,
+    step_log_n: int | None = None,
+    dindex=None,
+    step_dindex=None,
 ) -> list[StateVerificationResult]:
     """Verify many Proof-of-States at once: all 17*B protocol-state hashes
     run as one device Poseidon batch and all B tip proofs verify in one
@@ -257,7 +277,8 @@ def verify_states_batch(
 
     with METRICS.timer("verify_states_batch"):
         results = _verify_states_batch(
-            pubs, proofs, block_log_n, tip_proofs_device, rand_weights
+            pubs, proofs, block_log_n, tip_proofs_device, rand_weights,
+            step_log_n=step_log_n, dindex=dindex, step_dindex=step_dindex,
         )
     METRICS.count("state_proofs_submitted", len(pubs))
     METRICS.count("state_proofs_verified", sum(r.ok for r in results))
@@ -270,6 +291,9 @@ def _verify_states_batch(
     block_log_n: int,
     tip_proofs_device: "pickles.DeviceTips",
     rand_weights,
+    step_log_n: int | None = None,
+    dindex=None,
+    step_dindex=None,
 ) -> list[StateVerificationResult]:
     B = len(pubs)
     n = pm.BRIDGE_TRANSITION_FRONTIER_LEN
@@ -382,7 +406,8 @@ def _verify_states_batch(
     # never mask — or fail — another proof's tip verdict.
     ok_idxs = [b for b, r in enumerate(results) if r.ok]
     verdicts = _tip_verdicts(
-        ok_idxs, tip_proofs_device, rand_weights, block_log_n
+        ok_idxs, tip_proofs_device, rand_weights, block_log_n,
+        step_log_n=step_log_n, dindex=dindex, step_dindex=step_dindex,
     )
     for b in ok_idxs:
         if not verdicts[b]:

@@ -578,8 +578,18 @@ def batch_verify(
     u=None,
     virtual_rows=(),
     extra_pairs=(),
+    bind_prechals=None,
 ) -> jax.Array:
     """Verify a batch of opening proofs with ONE combined MSM (bool result).
+
+    bind_prechals: optional (B, k, NLIMBS) canonical 128-bit values; when
+    given, the verdict additionally requires the opening transcript's raw
+    folding PRE-challenges (the masked squeezes the endo map is applied
+    to) to equal them — the pickles step-accumulator linkage: the wrap
+    proof's deferred digest binds exactly these prechallenges, so the
+    caller can tie "the step proof this verify checked" to "the
+    accumulator the wrap proof committed to" (pickles/verifier.py
+    batch_verify_tips, PARITY D7).
 
     extra_pairs: additional (affine_points, lazy_scalar) pairs folded
     into the same MSM — used by callers to bind side claims (e.g. the
@@ -647,6 +657,10 @@ def batch_verify(
         openings.u_hint[:, 3],
     )
     endo = curve.endo_scalar
+    prechal_ok = jnp.asarray(True)
+    if bind_prechals is not None:
+        raw = jnp.stack([x & mask128 for x in sq[1 : 1 + k]], axis=1)
+        prechal_ok = jnp.all(raw == bind_prechals)
     chals = [endo_to_field_device(fs, endo, x & mask128) for x in sq[1 : 1 + k]]
     c = endo_to_field_device(fs, endo, sq[1 + k] & mask128)
     chal_stack = jnp.stack(chals)  # (k, B, L)
@@ -741,7 +755,8 @@ def batch_verify(
         axis=0,
     )
     result = _msm_impl().msm(curve, scalars, points)
-    return jnp.logical_and(jc.is_identity(curve, result), jnp.all(u_ok))
+    ok = jnp.logical_and(jc.is_identity(curve, result), jnp.all(u_ok))
+    return jnp.logical_and(ok, prechal_ok)
 
 
 def _sum_over_batch(spec, x: jax.Array, axis: int = 0) -> jax.Array:

@@ -304,6 +304,7 @@ def verify(
     proofs: DeviceProofs,
     rand_weights: jax.Array,
     pub_comm_hint: jax.Array | None = None,
+    bind_prechals: jax.Array | None = None,
 ) -> jax.Array:
     """Verify B proofs; returns a single bool.
 
@@ -322,6 +323,10 @@ def verify(
     batched MSM under verifier weights w^2 v^j (sound by Schwartz-Zippel:
     w is service randomness sampled after the proof is fixed).
     host_public_commitments() computes correct hints.
+
+    bind_prechals: optional (B, k, NLIMBS) — additionally require the
+    opening's raw 128-bit folding prechallenges to equal these (pickles
+    step-proof linkage; see ipa.batch_verify).
     """
     curve = index.curve
     fs = curve.scalar
@@ -862,6 +867,7 @@ def verify(
         u=u,
         virtual_rows=tuple(virtual),
         extra_pairs=tuple(extra_pairs),
+        bind_prechals=bind_prechals,
     )
     return jnp.logical_and(ok, hint_wf)
 

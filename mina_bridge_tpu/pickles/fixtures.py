@@ -58,11 +58,14 @@ def make_tips(
 
 
 def _tip_doc(tip: pv.TipProof) -> dict:
-    return {
+    doc = {
         "wrap": bf._proof_doc(tip.wrap),
         "acc_prechals": [hex(c) for c in tip.step_acc_prechals],
         "acc_sg": bf._pt(tip.step_acc_sg),
     }
+    if tip.step is not None:  # wrapped step proof (D7 device path)
+        doc["step"] = bf._proof_doc(tip.step)
+    return doc
 
 
 def _tip_undoc(d: dict) -> pv.TipProof:
@@ -70,6 +73,7 @@ def _tip_undoc(d: dict) -> pv.TipProof:
         wrap=bf._proof_from_doc(d["wrap"]),
         step_acc_prechals=[int(c, 16) for c in d["acc_prechals"]],
         step_acc_sg=bf._unpt(d["acc_sg"]),
+        step=bf._proof_from_doc(d["step"]) if "step" in d else None,
     )
 
 
@@ -79,6 +83,7 @@ def save_tips(
     step_log_n: int,
     tips: list[pv.TipProof],
     wrap_index=None,
+    step_index=None,
 ) -> None:
     doc = {
         "block_log_n": block_log_n,
@@ -87,20 +92,26 @@ def save_tips(
     }
     if wrap_index is not None:
         doc["wrap_index"] = bf._index_doc(wrap_index)
+    if step_index is not None:
+        doc["step_index"] = bf._index_doc(step_index)
     path.parent.mkdir(parents=True, exist_ok=True)
     with gzip.open(path, "wt") as f:
         json.dump(doc, f)
 
 
 def load_tips(path: pathlib.Path):
-    """-> (block_log_n, step_log_n, [TipProof], wrap_host_index|None)."""
+    """-> (block_log_n, step_log_n, [TipProof], wrap_host_index|None,
+    step_host_index|None)."""
     with gzip.open(path, "rt") as f:
         doc = json.load(f)
     tips = [_tip_undoc(td) for td in doc["tips"]]
     index = None
     if "wrap_index" in doc:
         index = bf._index_from_doc(doc["wrap_index"], pv.PALLAS)
-    return doc["block_log_n"], doc["step_log_n"], tips, index
+    step_index = None
+    if "step_index" in doc:
+        step_index = bf._index_from_doc(doc["step_index"], pv.VESTA)
+    return doc["block_log_n"], doc["step_log_n"], tips, index, step_index
 
 
 def load_wrap_dindex(block_log_n: int, step_log_n: int, batch: int):
@@ -109,8 +120,21 @@ def load_wrap_dindex(block_log_n: int, step_log_n: int, batch: int):
     path = fixture_path(block_log_n, step_log_n, batch)
     if not path.exists():
         return None
-    _, _, _, host_index = load_tips(path)
+    _, _, _, host_index, _ = load_tips(path)
     if host_index is None:
         return None
     g, h = pv._srs_for("pallas", host_index.domain.n)
+    return kv.DeviceVerifierIndex.from_host(host_index, g, h)
+
+
+def load_step_dindex(block_log_n: int, step_log_n: int, batch: int):
+    """Device STEP (Vesta) index from the committed fixture (skips the
+    step_setup commitment recomputation); None when absent."""
+    path = fixture_path(block_log_n, step_log_n, batch)
+    if not path.exists():
+        return None
+    _, _, _, _, host_index = load_tips(path)
+    if host_index is None:
+        return None
+    g, h = pv._srs_for("vesta", host_index.domain.n)
     return kv.DeviceVerifierIndex.from_host(host_index, g, h)

@@ -14,44 +14,50 @@ Pickles' two-curve recursion (README.md:477-604):
 TPU-native pipeline implemented here:
 
   1. `prove_tip` produces a real step proof on Vesta binding the state
-     hash, extracts its IPA accumulator (chals, sg), then produces a
+     hash, extracts its IPA accumulator (prechals, sg), then produces a
      wrap proof on Pallas that carries up to 2 pallas-side accumulators
      (`prev_challenges`, padded with the dummy accumulator) — mirroring
-     pickles' max_proofs_verified = 2.
-  2. `batch_verify_tips` verifies B tips with TWO device programs:
-     (a) one batched kimchi verification of the wrap proofs — the
-         carried accumulators are re-opened inside the same single MSM
-         (kimchi/verifier.py); and
-     (b) one batched MSM "decider" for the step-side (Vesta)
-         accumulators: sum_b w_b (sg_b - <s(chals_b), G>) == identity
-         (commitment/ipa.py::batch_decide).
+     pickles' max_proofs_verified = 2. The TipProof carries BOTH proofs.
+  2. `batch_verify_tips` verifies B tips with TWO batched kimchi device
+     verifications (each a single MSM):
+     (a) the wrap (Pallas) proofs — carried accumulators re-opened
+         inside the MSM (kimchi/verifier.py); and
+     (b) the wrapped step (Vesta) proofs — the same device verifier
+         over the step index; its rho-weighted MSM term checks
+         sg == <s(chals), G> directly, so the step accumulator is
+         DECIDED in the same dispatch.
 
-Deferred values (pickles' step->wrap binding): the wrap proof's public
-input is [state_hash, deferred_digest] where deferred_digest is the Fq
-poseidon digest of the step verification's deferred accumulator — the
-folding challenges (split into 128-bit halves) and the `sg` commitment
-coordinates. `batch_verify_tips` recomputes the digest on device from
-the claimed accumulator and checks it against the wrap public input, so
-the wrap proof cryptographically binds the exact step accumulator the
-decider MSM then discharges — mirroring how pickles passes the step
-verifier's scalar results through the wrap circuit's public input
-(reference README.md:534-604).
+Step->wrap binding (the reason a tip is one claim, not two):
 
-Deferred-values gadget (wrap_setup): the wrap CIRCUIT re-derives the
-deferred digest with in-circuit poseidon permutation spans (+ generic
-add rows folding the sponge rate) over the step accumulator preimage —
-the folding-challenge 128-bit halves and the sg coordinates, which are
-native Fq values on the wrap side of the Pasta cycle — and wires the
-result to public input 1 by copy constraint. A wrap proof therefore
-cannot even be FORMED for a digest that does not hash the claimed
-accumulator; batch_verify_tips additionally recomputes the digest on
-device from the claimed accumulator (defense in depth).
+  * The wrap CIRCUIT replays the step proof's full Fiat-Shamir FQ
+    transcript in-circuit (wrap_setup: _transcript_gadget over
+    _step_schedule): the step index digest is a pinned circuit
+    constant, the step commitments / vprime / L,R points are witnessed
+    absorb cells (native Fq coordinates on the wrap side of the
+    cycle), and the k IPA folding prechallenges are squeezed by the
+    replayed sponge, range-extracted (_prechal_gadget), and hashed —
+    with the sg coordinates — into the deferred-values digest wired to
+    public input 1. A wrap proof cannot be FORMED for an accumulator
+    whose challenges were not Fiat-Shamir-derived from the absorbed
+    step commitments (reference README.md:534-604).
+  * `batch_verify_tips` recomputes that digest on device from the
+    claimed accumulator (digest binding), requires the step
+    verification's own transcript to reproduce exactly the bound
+    prechallenges (kv.verify bind_prechals), requires the step
+    opening's sg to equal the bound sg, and requires both proofs to
+    bind the same state hash. The chain wrap proof <-> digest <->
+    accumulator <-> verified step proof <-> state hash is closed
+    entirely on device: NO host verification is load-bearing for
+    adversarial submissions (PARITY D7 closed; the remaining
+    difference from pickles is WHERE the step group-side check runs —
+    pickles folds it into the wrap circuit, we run it as a second
+    batched device verification — a documented redesign, same
+    end-to-end soundness).
 
-Remaining deviation (PARITY D7, narrowed): the gadget hashes the step
-verifier's deferred OUTPUT (its accumulator) rather than replaying the
-full step Fiat-Shamir transcript (absorb step commitments, squeeze and
-endo-map beta/gamma/alpha/zeta) in-circuit; step proofs are fully
-host-verified at wrap time (pickles' verified-when-wrapped invariant).
+Legacy tips without an embedded step proof (old fixtures) fall back to
+the accumulator-decider MSM (ipa.batch_decide) and inherit the proving
+side's verified-when-wrapped invariant; the serving path
+(bridge/verifier_service.py) requires step proofs.
 """
 
 from __future__ import annotations
@@ -434,9 +440,9 @@ def wrap_setup(log_n: int = BLOCK_LOG_N, step_log_n: int = STEP_LOG_N):
     A wrap proof therefore cannot be formed for an accumulator whose
     challenges were not derived by Fiat-Shamir from the absorbed step
     commitments; batch_verify_tips recomputes the digest on device and
-    the decider MSM discharges sg == <s(chals), G>. (The step proof's
-    group-side Schnorr check remains host-side at wrap time — pickles'
-    verified-when-wrapped invariant; see PARITY D7 for the residual.)
+    verifies the wrapped step proof itself on device (sg correctness
+    included via the rho-weighted MSM term) — see the module docstring
+    for the full D7 binding chain.
 
     Public inputs: [state_hash, deferred_digest]."""
     curve = PALLAS
@@ -522,7 +528,8 @@ def dummy_accumulator(curve_name: str = "pallas", log_n: int = BLOCK_LOG_N):
 
 @dataclasses.dataclass
 class TipProof:
-    """A verified-tip claim: the wrap proof + the step-side accumulator."""
+    """A verified-tip claim: the wrap proof + the step proof it wraps
+    (+ the step-side accumulator the wrap circuit binds)."""
 
     wrap: prover_host.HostProof  # pallas proof, carries R=2 accumulators
     # raw 128-bit folding PRE-challenges of the step opening (the form
@@ -530,6 +537,13 @@ class TipProof:
     # decider, where Fp is native)
     step_acc_prechals: list
     step_acc_sg: tuple  # Vesta point: the step opening's `sg`
+    # the wrapped Vesta step proof itself: batch_verify_tips verifies it
+    # fully ON DEVICE (same batched kimchi verifier, Vesta index) so no
+    # host verification is load-bearing for adversarial submissions
+    # (PARITY D7 closure). None only in legacy fixtures, where the
+    # accumulator decider path still requires the proving side's
+    # verified-when-wrapped invariant.
+    step: "prover_host.HostProof | None" = None
 
     def accumulator(self):
         """Pallas-side accumulator left behind by this tip's wrap proof
@@ -597,13 +611,16 @@ def prove_tip(
         prev_challenges=accs,
     )
     return TipProof(
-        wrap=wrap_proof, step_acc_prechals=step_prechals, step_acc_sg=step_sg
+        wrap=wrap_proof,
+        step_acc_prechals=step_prechals,
+        step_acc_sg=step_sg,
+        step=step_proof,
     )
 
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["wrap", "acc_prechals", "acc_sg"],
+    data_fields=["wrap", "acc_prechals", "acc_sg", "step"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -613,6 +630,9 @@ class DeviceTips:
     wrap: kv.DeviceProofs
     acc_prechals: jax.Array  # (B, k, NLIMBS) 128-bit folding prechallenges
     acc_sg: jax.Array  # (B, 2, NLIMBS) step accumulator commitments
+    # the wrapped Vesta step proofs (None for legacy accumulator-only
+    # tips; a None pytree leaf simply vanishes under jax.tree.map)
+    step: "kv.DeviceProofs | None" = None
 
     @classmethod
     def from_host(cls, tips: list[TipProof]) -> "DeviceTips":
@@ -621,6 +641,10 @@ class DeviceTips:
                 [int_to_limbs(pt[0], NLIMBS), int_to_limbs(pt[1], NLIMBS)]
             )
 
+        with_step = [t.step is not None for t in tips]
+        assert all(with_step) or not any(with_step), (
+            "a batch must be uniformly with or without step proofs"
+        )
         return cls(
             wrap=kv.DeviceProofs.from_host([t.wrap for t in tips]),
             acc_prechals=jnp.asarray(
@@ -634,11 +658,34 @@ class DeviceTips:
                 )
             ),
             acc_sg=jnp.asarray(np.stack([aff(t.step_acc_sg) for t in tips])),
+            step=(
+                kv.DeviceProofs.from_host([t.step for t in tips])
+                if all(with_step)
+                else None
+            ),
         )
 
 
 def device_proofs(tips: list[TipProof]) -> DeviceTips:
     return DeviceTips.from_host(tips)
+
+
+@functools.cache
+def step_device_index(step_log_n: int) -> "kv.DeviceVerifierIndex":
+    return step_setup(step_log_n)[2]
+
+
+def _host_hint(dindex, public_arr):
+    """UNTRUSTED host public-commitment hint for a concrete (B, npub,
+    NLIMBS) public-input array (kv.verify binds the claim in its MSM)."""
+    if isinstance(jnp.asarray(public_arr), jax.core.Tracer):
+        return None
+    pubs_np = np.asarray(public_arr)
+    publics = [
+        [limbs_to_int(pubs_np[b, i]) for i in range(pubs_np.shape[1])]
+        for b in range(pubs_np.shape[0])
+    ]
+    return kv.host_public_commitments(dindex, publics)
 
 
 def batch_verify_tips(
@@ -647,43 +694,79 @@ def batch_verify_tips(
     log_n: int = BLOCK_LOG_N,
     step_log_n: int | None = None,
     dindex: "kv.DeviceVerifierIndex | None" = None,
+    step_dindex: "kv.DeviceVerifierIndex | None" = None,
 ):
-    """Verify B tips: one batched wrap verification (single MSM, carried
-    accumulators re-opened inside it) + one batched step-accumulator
-    decider MSM on the Vesta side.
+    """Verify B tips with no load-bearing host verification (PARITY D7):
 
-    rand_weights: (B, 3, NLIMBS) — (w, rho) for the wrap opening combine
-    plus the decider weight.
+    1. one batched wrap (Pallas) verification — single MSM, carried
+       accumulators re-opened inside it;
+    2. deferred-values binding — the wrap public input's digest element
+       must hash the claimed step accumulator (prechals, sg);
+    3. one batched step (Vesta) verification of the wrapped step proofs
+       (dtips.step) through the SAME kimchi device verifier — its
+       rho-weighted MSM term checks sg == <s(chals), G> directly, and
+       bind_prechals ties the transcript's folding prechallenges to the
+       accumulator of (2);
+    4. linkage: the step opening's sg equals the bound accumulator's and
+       both proofs bind the same state hash (Fp embeds into Fq, so limb
+       equality is exact).
 
-    dindex: optional preloaded wrap verifier index (e.g. from a
-    committed fixture — pickles.fixtures) to skip the multi-minute
-    block_setup commitment recomputation at real scale (2^17)."""
+    Legacy tips without step proofs (dtips.step is None) fall back to
+    the accumulator-decider MSM (sum_b w_b (sg_b - <s(chals_b), G>) == 0,
+    commitment/ipa.py::batch_decide), which is sound only under the
+    proving side's verified-when-wrapped invariant.
+
+    rand_weights: (B, 5, NLIMBS) — (w, rho) for the wrap combine,
+    the legacy decider weight, and (w, rho) for the step combine.
+    Legacy (B, 3) arrays are still accepted on the decider path.
+
+    dindex / step_dindex: optional preloaded verifier indexes (e.g. from
+    a committed fixture — pickles.fixtures) to skip the multi-minute
+    setup commitment recomputation at real scale (2^17 / 2^18)."""
     step_log_n = STEP_LOG_N if step_log_n is None else step_log_n
     if dindex is None:
         _, _, dindex, _, _ = block_setup(log_n, step_log_n)
-    # host-computed public-commitment hints skip the wrap verify's
-    # 260-step on-device double-and-add; bound inside the batched MSM
-    # (kv.verify docstring). Only possible when the publics are concrete
-    # (they are: batch_verify_tips is host glue, never jitted).
-    hint = None
-    if not isinstance(jnp.asarray(dtips.wrap.public), jax.core.Tracer):
-        pubs_np = np.asarray(dtips.wrap.public)  # (B, npub, NLIMBS)
-        publics = [
-            [limbs_to_int(pubs_np[b, i]) for i in range(pubs_np.shape[1])]
-            for b in range(pubs_np.shape[0])
-        ]
-        hint = kv.host_public_commitments(dindex, publics)
+    # host-computed public-commitment hints skip the verify's 260-step
+    # on-device double-and-add; bound inside the batched MSM (kv.verify
+    # docstring). Only possible when the publics are concrete (they are:
+    # batch_verify_tips is host glue, never jitted).
     wrap_ok = kv.verify(
-        dindex, dtips.wrap, rand_weights[:, :2], pub_comm_hint=hint
+        dindex,
+        dtips.wrap,
+        rand_weights[:, :2],
+        pub_comm_hint=_host_hint(dindex, dtips.wrap.public),
     )
     # deferred-values binding: the wrap public input's second element
-    # must equal the digest of the step accumulator being decided
+    # must equal the digest of the step accumulator being carried
     digest = _device_deferred_digest(dtips.acc_prechals, dtips.acc_sg)
     digest_ok = jnp.all(digest == dtips.wrap.public[:, 1])
-    # the decider needs only the Vesta SRS prefix the step opening
-    # folded over (min(n, 2^16) points — chunked domains still fold
-    # SRS-length vectors), not a step verifier index; it endo-maps the
-    # prechallenges into Fp natively (ipa.batch_decide)
+    ok = jnp.logical_and(wrap_ok, digest_ok)
+    if dtips.step is not None:
+        if rand_weights.shape[1] < 5:
+            raise ValueError(
+                "on-device step verification needs (B, 5) rand_weights "
+                "(wrap w/rho, decider, step w/rho) — got "
+                f"{rand_weights.shape}"
+            )
+        if step_dindex is None:
+            step_dindex = step_device_index(step_log_n)
+        step_ok = kv.verify(
+            step_dindex,
+            dtips.step,
+            rand_weights[:, 3:5],
+            pub_comm_hint=_host_hint(step_dindex, dtips.step.public),
+            bind_prechals=dtips.acc_prechals,
+        )
+        sg_link = jnp.all(dtips.step.sg == dtips.acc_sg)
+        state_link = jnp.all(
+            dtips.wrap.public[:, 0] == dtips.step.public[:, 0]
+        )
+        link_ok = jnp.logical_and(sg_link, state_link)
+        return jnp.logical_and(ok, jnp.logical_and(step_ok, link_ok))
+    # legacy accumulator-decider path: the decider needs only the Vesta
+    # SRS prefix the step opening folded over (min(n, 2^16) points —
+    # chunked domains still fold SRS-length vectors), not a step
+    # verifier index; it endo-maps the prechallenges into Fp natively
     from ..curves.srs import load_srs
 
     sg_affine = load_srs("vesta", 1 << acc_log_n(step_log_n))["g"]
@@ -694,7 +777,7 @@ def batch_verify_tips(
         dtips.acc_sg,
         rand_weights[:, 2],
     )
-    return jnp.logical_and(jnp.logical_and(wrap_ok, digest_ok), acc_ok)
+    return jnp.logical_and(ok, acc_ok)
 
 
 def _device_deferred_digest(acc_prechals: jax.Array, acc_sg: jax.Array):

@@ -31,6 +31,7 @@ def main():
     )
     t0 = time.time()
     _, _, wrap_index, _, _, _ = pv.wrap_setup(block_log_n, step_log_n)
+    _, step_index, _, _, _ = pv.step_setup(step_log_n)
     print(f"wrap_setup(2^{block_log_n}) done in {time.time()-t0:.1f}s", flush=True)
     tips = []
     for i in range(batch):
@@ -44,7 +45,10 @@ def main():
         tips.append(tip)
         print(f"tip {i} proven in {time.time()-t1:.1f}s", flush=True)
         tmp = out.with_suffix(".tmp")
-        pfx.save_tips(tmp, block_log_n, step_log_n, tips, wrap_index=wrap_index)
+        pfx.save_tips(
+            tmp, block_log_n, step_log_n, tips,
+            wrap_index=wrap_index, step_index=step_index,
+        )
         tmp.rename(out)
     print(f"all done in {time.time()-t0:.1f}s -> {out}", flush=True)
 

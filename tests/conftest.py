@@ -111,9 +111,44 @@ def rng():
     return random.Random(0xC0FFEE)
 
 
+# --- compile budget (VERDICT r4 item 7) -----------------------------------
+# The suite's wall time is virtually all XLA:CPU compiles of toy-shape
+# verify graphs, and with the persistent cache unusable under pytest
+# (above) the SAME canonical shapes (wrap 2^10 / step 2^4 / B=2 — shared
+# by test_pickles, test_e2e_bridge, test_batch_service, test_pickles_wire)
+# used to recompile once per module: the per-module jax.clear_caches()
+# below exists only to bound JIT-code VMA count under the default
+# vm.max_map_count=65530 (accumulated mappings crash later compiles in
+# backend_compile_and_load). Raising the sysctl removes the need to drop
+# the in-memory jit cache between modules, so cross-module shape reuse
+# actually reuses the executable. conftest raises it itself when it can
+# (we run as root in CI/driver containers); otherwise the clearing
+# fallback keeps the suite green at the old speed.
+_MAP_COUNT_PATH = "/proc/sys/vm/max_map_count"
+_MAP_COUNT_WANT = 1048576
+
+
+def _ensure_map_count() -> bool:
+    try:
+        with open(_MAP_COUNT_PATH) as f:
+            have = int(f.read())
+        if have >= _MAP_COUNT_WANT:
+            return True
+        with open(_MAP_COUNT_PATH, "w") as f:
+            f.write(str(_MAP_COUNT_WANT))
+        with open(_MAP_COUNT_PATH) as f:
+            return int(f.read()) >= _MAP_COUNT_WANT
+    except OSError:
+        return False
+
+
+_KEEP_JIT_CACHE = _ensure_map_count()
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bounded_jit_code():
-    """Free compiled executables between test modules.
+    """Free compiled executables between test modules — ONLY when the
+    vm.max_map_count raise failed (see _ensure_map_count above).
 
     Every XLA:CPU executable maps many VMAs of JIT code; a full
     no-persistent-cache suite run accumulates past the default
@@ -122,6 +157,8 @@ def _bounded_jit_code():
     reproducibly at the first pmsm compile after the big verify
     graphs). Dropping the jit caches after each module unloads
     executables nothing holds anymore and keeps the mapping count
-    bounded regardless of host sysctl settings."""
+    bounded — at the cost of recompiling shapes shared across modules,
+    which roughly doubles suite wall time."""
     yield
-    jax.clear_caches()
+    if not _KEEP_JIT_CACHE:
+        jax.clear_caches()

@@ -27,7 +27,7 @@ from mina_bridge_tpu.curves import PALLAS
 def rand_weights(batch):
     from tests.test_kimchi_device import rand_weights as rw
 
-    return rw(PALLAS, batch, n=3)
+    return rw(PALLAS, batch, n=5)
 
 
 @pytest.fixture(scope="module")

@@ -100,6 +100,6 @@ def test_rejects_bad_state_proof(world):
     tip_proof = pickles.prove_tip(pub.candidate_chain_state_hashes[-1])
     res = vs.verify_proof_of_state(
         pub, proof, pickles.BLOCK_LOG_N, pickles.device_proofs([tip_proof]),
-        rand_weights(PALLAS, 1, n=3),
+        rand_weights(PALLAS, 1, n=5),
     )
     assert not res.ok and "state hash" in res.reason

@@ -26,8 +26,8 @@ def proven():
 
 
 def rand_weights(curve, B, seed=7, n=2):
-    """(B, n, NLIMBS) verifier randomness; tip flows need n=3 (w, rho +
-    the step-accumulator decider weight)."""
+    """(B, n, NLIMBS) verifier randomness; tip flows need n=5 (wrap w/rho,
+    the legacy decider weight, step w/rho)."""
     rng = random.Random(seed)
     return jnp.asarray(
         np.array(

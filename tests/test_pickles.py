@@ -1,17 +1,20 @@
 """Pickles step/wrap accumulator pipeline (reference README.md:477-604).
 
 Host layer: the wrap proof carries pallas-side recursion accumulators
-(prev_challenges) which the verifier re-opens inside its single MSM;
-the step proof's vesta-side accumulator is checked by the batched
-decider MSM. Device layer: batch_verify_tips runs both programs on the
-canonical tip shape (B=2, wrap n=2^10 with the step-transcript-replay
-gadget rows, step n=16, R=2). The wrap circuit REPLAYS the step proof's
-Fiat-Shamir transcript in-circuit and binds the derived folding
-prechallenges into the deferred-values digest (PARITY D7).
+(prev_challenges) which the verifier re-opens inside its single MSM.
+Device layer: batch_verify_tips runs TWO batched kimchi verifications on
+the canonical tip shape (B=2, wrap n=2^10 with the step-transcript-replay
+gadget rows, step n=16, R=2): the wrap proofs AND the wrapped step
+proofs themselves (no load-bearing host verification — PARITY D7
+closed); legacy accumulator-only tips fall back to the decider MSM. The
+wrap circuit REPLAYS the step proof's Fiat-Shamir transcript in-circuit
+and binds the derived folding prechallenges into the deferred-values
+digest.
 """
 
 import random
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -39,7 +42,7 @@ def _rw(B, seed=7):
             [
                 [
                     int_to_limbs(rng.randrange(PALLAS.scalar.p), NLIMBS)
-                    for _ in range(3)
+                    for _ in range(5)
                 ]
                 for _ in range(B)
             ],
@@ -88,29 +91,59 @@ def test_host_rejects_corrupt_carried_accumulator(tips):
 
 
 def test_device_batch_verify_tips(tips):
+    import dataclasses as dc
+
     tip1, tip2 = tips
     dtips = pk.device_proofs([tip1, tip2])
+    assert dtips.step is not None  # on-device step verification path
     rw = _rw(2)
     assert bool(pk.batch_verify_tips(dtips, rw))
 
-    # corrupt step accumulator -> decider rejects (same compiled shape)
-    bad = pk.DeviceTips(
-        wrap=dtips.wrap,
-        acc_prechals=dtips.acc_prechals.at[1, 0, 0].add(1),
-        acc_sg=dtips.acc_sg,
-    )
+    # corrupt step accumulator -> digest binding + prechal link reject
+    # (same compiled shape)
+    bad = dc.replace(dtips, acc_prechals=dtips.acc_prechals.at[1, 0, 0].add(1))
     assert not bool(pk.batch_verify_tips(bad, rw))
 
     # corrupt carried wrap accumulator -> wrap verify rejects
-    import dataclasses as dc
-
     bad_wrap = dc.replace(
         dtips.wrap, prev_chals=dtips.wrap.prev_chals.at[0, 0, 0, 0].add(1)
     )
-    bad2 = pk.DeviceTips(
-        wrap=bad_wrap, acc_prechals=dtips.acc_prechals, acc_sg=dtips.acc_sg
-    )
+    bad2 = dc.replace(dtips, wrap=bad_wrap)
     assert not bool(pk.batch_verify_tips(bad2, rw))
+
+
+def test_device_rejects_unverified_step_proof(tips):
+    """PARITY D7 closure criterion: a tip whose step proof host
+    verification NEVER saw (and would reject) must be rejected on
+    device. The forgery tampers a step EVALUATION: the wrap circuit's
+    transcript replay only covers the step FQ side (commitments, vprime,
+    L/R), so the wrap proof, deferred digest and accumulator all stay
+    internally consistent — the legacy decider path accepts this forgery
+    and only the on-device step verification catches it."""
+    import dataclasses as dc
+
+    tip1, tip2 = tips
+    dtips = pk.device_proofs([tip1, tip2])
+    rw = _rw(2)
+    bad_step = dc.replace(
+        dtips.step, evals=dtips.step.evals.at[0, 3, 0, 0].add(1)
+    )
+    forged = dc.replace(dtips, step=bad_step)
+    assert not bool(pk.batch_verify_tips(forged, rw))
+    # the SAME forgery passes the legacy accumulator-decider path —
+    # documenting exactly the soundness gap the step path closes
+    legacy = dc.replace(dtips, step=None)
+    assert bool(pk.batch_verify_tips(legacy, rw))
+
+    # pairing each wrap proof with the OTHER tip's (valid) step proof +
+    # accumulator is rejected (digest binding + state linkage)
+    swapped_steps = dc.replace(
+        dtips,
+        step=jax.tree.map(lambda x: x[::-1], dtips.step),
+        acc_prechals=dtips.acc_prechals[::-1],
+        acc_sg=dtips.acc_sg[::-1],
+    )
+    assert not bool(pk.batch_verify_tips(swapped_steps, rw))
 
 
 def test_deferred_digest_binds_accumulator(tips):

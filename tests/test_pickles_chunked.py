@@ -27,6 +27,7 @@ TOY_STEP_LOG = 10  # step c = 2
 def _clear_setup_caches():
     pv._setup.cache_clear()
     pv.wrap_setup.cache_clear()
+    pv.step_device_index.cache_clear()
 
 
 @pytest.fixture(scope="module")
@@ -58,7 +59,7 @@ def rand_weights(B, seed=3):
     return jnp.asarray(
         np.array(
             [
-                [int_to_limbs(rng.randrange(PALLAS.scalar.p), NLIMBS) for _ in range(3)]
+                [int_to_limbs(rng.randrange(PALLAS.scalar.p), NLIMBS) for _ in range(5)]
                 for _ in range(B)
             ],
             np.int32,
@@ -109,27 +110,37 @@ def test_chunked_tips_tampered_rejected(toy_tips):
 
 
 def test_pickles_fixture_roundtrip(toy_tips, tmp_path):
-    _, wrap_index, _, _, _, _ = (None,) * 6  # readability placeholder
     circuit, gadget, index, dindex, g, h = pv.wrap_setup(
         TOY_BLOCK_LOG, TOY_STEP_LOG
     )
+    _, step_index, _, _, _ = pv.step_setup(TOY_STEP_LOG)
     path = tmp_path / "tips.json.gz"
-    pfx.save_tips(path, TOY_BLOCK_LOG, TOY_STEP_LOG, toy_tips, wrap_index=index)
-    bln, sln, tips2, idx2 = pfx.load_tips(path)
+    pfx.save_tips(
+        path, TOY_BLOCK_LOG, TOY_STEP_LOG, toy_tips,
+        wrap_index=index, step_index=step_index,
+    )
+    bln, sln, tips2, idx2, sidx2 = pfx.load_tips(path)
     assert (bln, sln) == (TOY_BLOCK_LOG, TOY_STEP_LOG)
     assert idx2.chunks == index.chunks and idx2.digest() == index.digest()
-    # the loaded tips verify through a dindex rebuilt from the DOC alone
+    assert sidx2.digest() == step_index.digest()
+    assert tips2[0].step is not None  # wrapped step proofs round-trip
+    # the loaded tips verify through dindexes rebuilt from the DOC alone
     from mina_bridge_tpu.kimchi import verifier as kv
 
     dindex2 = kv.DeviceVerifierIndex.from_host(
         idx2, *pv._srs_for("pallas", idx2.domain.n)
     )
+    step_dindex2 = kv.DeviceVerifierIndex.from_host(
+        sidx2, *pv._srs_for("vesta", sidx2.domain.n)
+    )
     dtips = pv.device_proofs(tips2)
+    assert dtips.step is not None
     ok = pv.batch_verify_tips(
         dtips,
         rand_weights(2),
         log_n=TOY_BLOCK_LOG,
         step_log_n=TOY_STEP_LOG,
         dindex=dindex2,
+        step_dindex=step_dindex2,
     )
     assert bool(ok)

@@ -36,6 +36,19 @@ def test_tip_proof_roundtrip_bytes(tip):
     assert tip2.wrap.opening.lr == tip.wrap.opening.lr
     assert tip2.wrap.opening.z1 == tip.wrap.opening.z1
     assert tip2.wrap.prev_challenges == tip.wrap.prev_challenges
+    # the wrapped step proof rides the v3 envelope (on-device D7 path)
+    assert tip2.step is not None
+    assert tip2.step.public == tip.step.public
+    assert tip2.step.evals == [list(e) for e in tip.step.evals] or (
+        tip2.step.evals == tip.step.evals
+    )
+    assert tip2.step.opening.sg == tip.step.opening.sg
+    # a legacy envelope without the step proof still decodes
+    doc = pw.tip_doc(tip)
+    doc["step_proof"] = None
+    legacy = pw.tip_from_doc(pw.TIP_PROOF.decode(pw.TIP_PROOF.encode(doc)))
+    assert legacy.step is None
+    assert legacy.wrap.public == tip.wrap.public
 
 
 def test_decoded_tip_host_verifies(tip):
