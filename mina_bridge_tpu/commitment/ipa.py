@@ -450,15 +450,52 @@ def aff_to_rep(pts: jax.Array) -> jax.Array:
 
 def device_s_vector(spec, chals: list[jax.Array], n: int) -> jax.Array:
     """Coefficient vector of h(X) = prod_i (1 + chals[k-1-i] X^(2^i)):
-    (B, n, REP) built in k doubling steps from (B, L) REP challenges."""
+    (B, n, REP) built in k doubling steps from (B, L) REP challenges.
+
+    s[j] = prod over the set bits r of j of chals[k-1-r]. Doubling steps
+    grow by CONCATENATION, not .at[].set: an n-sized buffer updated in
+    place k times lowers to k full-size dynamic-update-slice copies
+    (~5 GB of HBM traffic at B=32, n=2^16 — measured, it OOMs compiled
+    in isolation on a 16 GB chip)."""
     k = len(chals)
     assert 1 << k == n
     B = chals[0].shape[0]
-    s = jnp.zeros((B, n, ffl.REP_LIMBS), jnp.int32).at[:, 0, 0].set(1)
+    s = jnp.zeros((B, 1, ffl.REP_LIMBS), jnp.int32).at[:, 0, 0].set(1)
     for r in range(k):
-        blk = ffl.mul(spec, s[:, : 1 << r], chals[k - 1 - r][:, None])
-        s = s.at[:, 1 << r : 1 << (r + 1)].set(blk)
+        blk = ffl.mul(spec, s, chals[k - 1 - r][:, None])
+        s = jnp.concatenate([s, blk], axis=1)
     return s
+
+
+def device_rho_s_sum(spec, chals: list[jax.Array], rho: jax.Array, n: int) -> jax.Array:
+    """Canonical (n, NLIMBS) G-row scalars -sum_b rho_b * s_b in one pass.
+
+    The batched opening's SRS-row scalars need only the rho-weighted
+    BATCH SUM of the per-proof s vectors, never the (B, n) matrix
+    itself. Split j = j_hi * 2^k_lo + j_lo: s_b[j] factors as
+    s_lo_b[j_lo] * s_hi_b[j_hi] (disjoint bit ranges of the same
+    product), so
+
+        -sum_b rho_b s_b[j] = sum_b ((-rho_b) s_hi_b[j_hi]) * s_lo_b[j_lo]
+
+    builds two 2^(k/2)-sized halves (tiny), one broadcasted outer
+    product, and the existing batch tree-sum — ~3 full-size buffers of
+    traffic instead of device_s_vector's k, and the -rho weight rides
+    the cheap hi half. Bit-identical to the unfused path (tested)."""
+    k = len(chals)
+    assert 1 << k == n
+    if k < 2:
+        s = device_s_vector(spec, chals, n)
+        w = ffl.mul(spec, ffl.neg(spec, rho)[:, None], s)
+        return ffl.canon(spec, _sum_over_batch(spec, w, axis=0))
+    k_lo = (k + 1) // 2
+    # low bits r=0..k_lo-1 use chals[k-1-r]; high bits the rest
+    s_lo = device_s_vector(spec, chals[k - k_lo :], 1 << k_lo)
+    s_hi = device_s_vector(spec, chals[: k - k_lo], 1 << (k - k_lo))
+    w_hi = ffl.mul(spec, ffl.neg(spec, rho)[:, None], s_hi)  # (B, n_hi, L)
+    prod = ffl.mul(spec, w_hi[:, :, None], s_lo[:, None])  # (B, n_hi, n_lo, L)
+    total = _sum_over_batch(spec, prod, axis=0)  # (n_hi, n_lo, L)
+    return ffl.canon(spec, total).reshape(n, -1)
 
 
 @functools.partial(jax.jit, static_argnums=0)
@@ -487,12 +524,8 @@ def batch_decide(
         )
         for i in range(k)
     ]
-    s = device_s_vector(fs, chals, n)
     w = ffl.from_canon(weights)
-    sc_g = ffl.canon(
-        fs,
-        _sum_over_batch(fs, ffl.neg(fs, ffl.mul(fs, w[:, None], s)), axis=0),
-    )  # (n, NLIMBS)
+    sc_g = device_rho_s_sum(fs, chals, w, n)  # (n, NLIMBS)
     points = jnp.concatenate([aff_to_rep(g_affine), aff_to_rep(acc_sg)], axis=0)
     scalars = jnp.concatenate([sc_g, ffl.canon(fs, w)], axis=0)
     result = _msm_impl().msm(curve, scalars, points)
@@ -680,9 +713,6 @@ def batch_verify(
     for j in range(npts):
         b0 = ffl.add(fs, b0, ffl.mul(fs, u_pows[j], hval[:, j]))
 
-    # s vector (B, n)
-    s = device_s_vector(fs, chals, n)
-
     w = ffl.from_canon(rand_weights[:, 0])
     rho = ffl.from_canon(rand_weights[:, 1])
 
@@ -697,7 +727,7 @@ def batch_verify(
     sc_u = ffl.canon(
         fs, mulf(w, ffl.sub(fs, mulf(z1, b0), mulf(c, vprime)))
     )  # (B, 20): per-proof U = to_group(t) coefficient
-    sc_g = ffl.canon(fs, _sum_over_batch(fs, neg(mulf(rho[:, None], s)), axis=0))  # (n, 20)
+    sc_g = device_rho_s_sum(fs, chals, rho, n)  # (n, 20)
     sc_sg = ffl.canon(fs, ffl.add(fs, mulf(w, z1), rho))  # (B, 20)
     sc_delta = ffl.canon(fs, neg(w))
     sc_l = ffl.canon(

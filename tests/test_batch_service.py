@@ -145,12 +145,20 @@ def test_system_rand_weights_entropy():
 
     a = np.asarray(vs.system_rand_weights(2))
     b = np.asarray(vs.system_rand_weights(2))
-    assert a.shape == (2, 3, a.shape[-1])
+    # (B, 5): wrap (w, rho), legacy decider, step (w, rho)
+    assert a.shape == (2, 5, a.shape[-1])
     assert not np.array_equal(a, b)
+    mods = (
+        PALLAS.scalar.p,
+        PALLAS.scalar.p,
+        VESTA.scalar.p,
+        VESTA.scalar.p,
+        VESTA.scalar.p,
+    )
     for arr in (a, b):
         for bi in range(2):
-            assert limbs_to_int(arr[bi, 0]) < PALLAS.scalar.p
-            assert limbs_to_int(arr[bi, 2]) < VESTA.scalar.p
+            for j, m in enumerate(mods):
+                assert limbs_to_int(arr[bi, j]) < m
 
 
 def _account_fixture(rng, index, with_zkapp):

@@ -172,3 +172,38 @@ def test_run_transcript_matches_sponge(rng):
         ps, [("absorb", ff.from_int(ps.field, 123)), ("squeeze",)], sponge=cont
     )
     assert ff.to_int(got2[0]) == more_ref
+
+
+@pytest.mark.parametrize("k", [2, 4, 7])
+def test_device_rho_s_sum_matches_unfused(rng, k):
+    """The fused outer-product G-row scalars (-sum_b rho_b s_b, canon)
+    are bit-identical to the host oracle at even and odd k splits."""
+    fs = PALLAS.scalar
+    n = 1 << k
+    B = 3
+    chal_ints = [[rng.randrange(fs.p) for _ in range(B)] for _ in range(k)]
+    rho_ints = [rng.randrange(fs.p) for _ in range(B)]
+    from mina_bridge_tpu.fields import ffl
+
+    chals = [
+        ffl.from_canon(
+            jnp.asarray([int_to_limbs(c, NLIMBS) for c in col], jnp.int32)
+        )
+        for col in chal_ints
+    ]
+    rho = ffl.from_canon(
+        jnp.asarray([int_to_limbs(r, NLIMBS) for r in rho_ints], jnp.int32)
+    )
+    got = np.asarray(jax.jit(
+        lambda ch, r: ipa.device_rho_s_sum(fs, ch, r, n)
+    )(chals, rho))
+    # host oracle: s_b from host_s_vector over the SAME challenge order
+    want = np.zeros((n, NLIMBS), np.int64)
+    tot = [0] * n
+    for b in range(B):
+        s_b = ipa.host_s_vector([chal_ints[i][b] for i in range(k)], fs.p)
+        for j in range(n):
+            tot[j] = (tot[j] - rho_ints[b] * s_b[j]) % fs.p
+    for j in range(n):
+        want[j] = np.asarray(int_to_limbs(tot[j], NLIMBS))
+    assert np.array_equal(got, want)
